@@ -1,0 +1,95 @@
+"""Checkpoint save/resume.
+
+Capability-parity with the reference (``tool/train.py:161-186,231-237``):
+- per-epoch checkpoints ``train_epoch_<N>.ckpt`` holding
+  {params, batch_stats, optimizer momentum, step, epoch};
+- rolling retention of the two most recent (older epochs deleted);
+- ``weight:`` load path (params/batch_stats only, for fine-tuning);
+- ``resume:`` path restoring epoch/model/optimizer;
+- reference ``.pth`` torch checkpoints are converted transparently
+  (``tool/test.py:112-113`` strict=False analog: the aux head may be
+  missing — conversion only fills what exists).
+
+Storage is orbax (async-capable, multi-host safe); auto-resume after a
+crash is ``latest_checkpoint(save_path)`` + ``load_resume`` — the
+fault-tolerance story for preemptible TPU jobs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def checkpoint_path(save_path: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(save_path), f"train_epoch_{epoch}.ckpt")
+
+
+def save_checkpoint(save_path: str, epoch: int, state, save_freq: int = 1,
+                    keep: int = 2) -> str:
+    """Save state at ``epoch`` (1-based, like the reference) and prune."""
+    path = checkpoint_path(save_path, epoch)
+    payload = {
+        "epoch": epoch,
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "momentum": jax.device_get(state.opt.momentum),
+    }
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(path, payload)
+    old = epoch - save_freq * keep
+    old_path = checkpoint_path(save_path, old)
+    if old > 0 and os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    return path
+
+
+def latest_checkpoint(save_path: str) -> Optional[str]:
+    if not os.path.isdir(save_path):
+        return None
+    best = None
+    for name in os.listdir(save_path):
+        m = re.fullmatch(r"train_epoch_(\d+)\.ckpt", name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), os.path.join(save_path, name))
+    return None if best is None else best[1]
+
+
+def restore_checkpoint(path: str) -> dict:
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+def load_model_variables(path: str, arch: str, layers: int) -> dict:
+    """Load eval variables {'params', 'batch_stats'} from either a native
+    checkpoint directory or a reference torch ``.pth`` file."""
+    if path.endswith(".pth"):
+        from semseg_tpu.models.convert import (
+            convert_torch_state_dict,
+            load_torch_checkpoint,
+        )
+
+        variables, unused = convert_torch_state_dict(
+            load_torch_checkpoint(path), arch, layers
+        )
+        if unused:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "unconverted torch keys: %s", unused
+            )
+        return variables
+    payload = restore_checkpoint(path)
+    return {"params": payload["params"], "batch_stats": payload["batch_stats"]}

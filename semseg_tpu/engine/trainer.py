@@ -1,0 +1,198 @@
+"""Training step: jit-compiled, GSPMD data-parallel, SyncBN-exact.
+
+Parallelism design (replaces reference ``tool/train.py``'s
+mp.spawn + NCCL DDP + SyncBatchNorm + explicit all_reduce stack):
+
+- The global batch lives as one array sharded along the ``data`` mesh axis;
+  parameters are replicated. Everything below runs inside ONE ``jax.jit``
+  and the XLA SPMD partitioner inserts all collectives on ICI:
+  * BatchNorm reduces moments over the *global* batch axis — that IS
+    SyncBatchNorm, with no wrapper (``jnp.mean`` over a sharded axis
+    compiles to a local reduce + all-reduce);
+  * gradient averaging falls out of differentiating the replica-averaged
+    loss (below) — XLA emits the same ring all-reduce DDP would;
+  * metric histograms are global sums (the reference's
+    ``dist.all_reduce`` of intersection/union/target).
+- DDP loss semantics are reproduced exactly: torch CE averages over the
+  *local* batch's valid pixels and DDP means the per-replica gradients
+  equally. Reshaping the global batch into ``num_replicas`` groups and
+  averaging group means reproduces this bit-for-bit under GSPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.engine.losses import cross_entropy_sum
+from semseg_tpu.engine.optim import (
+    SGDState,
+    make_lr_mult,
+    poly_lr,
+    sgd_init,
+    sgd_update,
+)
+from semseg_tpu.ops import resize_bilinear_align_corners
+from semseg_tpu.utils.metrics import intersection_and_union_jax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt: SGDState
+    step: jnp.ndarray  # int32 scalar
+
+
+def create_train_state(model, rng, sample_input) -> TrainState:
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "dropout": rng}, sample_input
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt=sgd_init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def replica_mean_ce(logits, labels, num_replicas: int, ignore_index: int):
+    """Mean over replicas of each replica's valid-pixel-mean CE (DDP
+    semantics). ``logits``: [B, H, W, C] with B divisible by replicas."""
+    b = logits.shape[0]
+    assert b % num_replicas == 0, (b, num_replicas)
+    group = b // num_replicas
+    loss_sum, count = cross_entropy_sum(logits, labels, ignore_index)
+    # Per-group means: reshape keeps the leading (sharded) axis outermost.
+    lg = logits.reshape(num_replicas, group, *logits.shape[1:])
+    tg = labels.reshape(num_replicas, group, *labels.shape[1:])
+    valid = (tg != ignore_index).astype(jnp.float32)
+    safe = jnp.where(tg == ignore_index, 0, tg)
+    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    axes = tuple(range(1, nll.ndim))
+    group_sum = jnp.sum(nll * valid, axis=axes)
+    group_cnt = jnp.maximum(jnp.sum(valid, axis=axes), 1.0)
+    return jnp.mean(group_sum / group_cnt), loss_sum, count
+
+
+def make_train_step(
+    model,
+    *,
+    classes: int,
+    ignore_label: int,
+    aux_weight: float,
+    base_lr: float,
+    max_iter: int,
+    power: float,
+    momentum: float,
+    weight_decay: float,
+    zoom_factor: int,
+    num_replicas: int,
+    rng_seed: int = 0,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, images, labels) -> (state, metrics).
+
+    ``images``: [B, H, W, 3] float32 (normalized), sharded along batch.
+    ``labels``: [B, H, W] int32/int64 with ignore_label outside.
+    """
+
+    def step_fn(state: TrainState, images, labels):
+        if zoom_factor != 8:
+            # Reference downscales float labels bilinearly (align_corners)
+            # when the model emits smaller logits (tool/train.py:262-266).
+            h = (labels.shape[1] - 1) // 8 * zoom_factor + 1
+            w = (labels.shape[2] - 1) // 8 * zoom_factor + 1
+            lab_f = resize_bilinear_align_corners(
+                labels.astype(jnp.float32)[..., None], (h, w)
+            )[..., 0]
+            labels_t = lab_f.astype(jnp.int32)
+        else:
+            labels_t = labels.astype(jnp.int32)
+
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(rng_seed), state.step
+        )
+
+        def loss_fn(params):
+            (logits, aux_logits), new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            main_loss, _, _ = replica_mean_ce(
+                logits, labels_t, num_replicas, ignore_label
+            )
+            aux_loss, _, _ = replica_mean_ce(
+                aux_logits, labels_t, num_replicas, ignore_label
+            )
+            loss = main_loss + aux_weight * aux_loss
+            return loss, (main_loss, aux_loss, logits, new_model_state)
+
+        (loss, (main_loss, aux_loss, logits, new_model_state)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+
+        lr = poly_lr(base_lr, state.step + 1, max_iter, power)
+        lr_mult = make_lr_mult(state.params)
+        new_params, new_opt = sgd_update(
+            state.params, grads, state.opt, lr, lr_mult,
+            momentum=momentum, weight_decay=weight_decay,
+        )
+
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union, target = intersection_and_union_jax(
+            pred, labels_t, classes, ignore_label
+        )
+
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_model_state["batch_stats"],
+            opt=new_opt,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "main_loss": main_loss,
+            "aux_loss": aux_loss,
+            "lr": lr,
+            "intersection": inter,
+            "union": union,
+            "target": target,
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, *, classes: int, ignore_label: int, zoom_factor: int):
+    """Center-crop validation step (reference ``tool/train.py:343-406``):
+    eval-mode forward, CE loss, argmax metrics."""
+
+    def step_fn(variables, images, labels):
+        logits = model.apply(variables, images, train=False)
+        labels_t = labels.astype(jnp.int32)
+        if zoom_factor != 8:
+            logits = resize_bilinear_align_corners(
+                logits, (labels.shape[1], labels.shape[2])
+            )
+        loss_sum, count = cross_entropy_sum(logits, labels_t, ignore_label)
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union, target = intersection_and_union_jax(
+            pred, labels_t, classes, ignore_label
+        )
+        return {
+            "loss_sum": loss_sum,
+            "valid_count": count,
+            "intersection": inter,
+            "union": union,
+            "target": target,
+        }
+
+    return jax.jit(step_fn)

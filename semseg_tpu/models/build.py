@@ -1,0 +1,87 @@
+"""Model construction from experiment configs.
+
+Includes the PSA mask-dimension derivation and architecture validation the
+reference performs in its drivers (``tool/train.py:58-79``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from semseg_tpu.models.psanet import PSANet
+from semseg_tpu.models.pspnet import PSPNet
+
+
+def derive_psa_mask_dims(cfg):
+    """Resolve (mask_h, mask_w) from crop size / shrink factor.
+
+    Mutates nothing; returns the resolved pair. Mirrors the contract of the
+    reference driver check (``tool/train.py:63-77``): compact mode uses the
+    feature extent directly, otherwise the default full relative extent
+    ``2*((crop-1)//(8*shrink)+1)-1``; explicit values must be odd, >= 3 and
+    no larger than the full extent.
+    """
+    shrink = cfg.shrink_factor
+    feat_h = (cfg.train_h - 1) // (8 * shrink) + 1
+    feat_w = (cfg.train_w - 1) // (8 * shrink) + 1
+    if cfg.compact:
+        return feat_h, feat_w
+    mask_h, mask_w = cfg.get("mask_h"), cfg.get("mask_w")
+    if (mask_h is None) != (mask_w is None):
+        raise ValueError("mask_h and mask_w must both be set or both unset")
+    if mask_h is None:
+        return 2 * feat_h - 1, 2 * feat_w - 1
+    full_h, full_w = 2 * feat_h - 1, 2 * feat_w - 1
+    if not (mask_h % 2 == 1 and 3 <= mask_h <= full_h):
+        raise ValueError(f"mask_h={mask_h} invalid (odd, 3..{full_h})")
+    if not (mask_w % 2 == 1 and 3 <= mask_w <= full_w):
+        raise ValueError(f"mask_w={mask_w} invalid (odd, 3..{full_w})")
+    return mask_h, mask_w
+
+
+def validate_arch(cfg):
+    """Architecture/shape invariants shared by all drivers."""
+    if cfg.classes <= 1:
+        raise ValueError("classes must be > 1")
+    if cfg.zoom_factor not in (1, 2, 4, 8):
+        raise ValueError(f"zoom_factor={cfg.zoom_factor} not in (1,2,4,8)")
+    if cfg.arch not in ("psp", "psa"):
+        raise ValueError(f"architecture {cfg.arch!r} not supported")
+    if (cfg.train_h - 1) % 8 != 0 or (cfg.train_w - 1) % 8 != 0:
+        raise ValueError("(train_h-1) and (train_w-1) must be multiples of 8")
+
+
+def build_model(cfg, axis_name=None, dtype=jnp.float32):
+    """Build the flax model described by ``cfg``.
+
+    Returns ``(model, resolved_cfg_updates)`` where updates carry derived
+    values (PSA mask dims) the caller may want to record.
+    """
+    validate_arch(cfg)
+    updates = {}
+    if cfg.arch == "psp":
+        model = PSPNet(
+            layers=cfg.layers,
+            classes=cfg.classes,
+            zoom_factor=cfg.zoom_factor,
+            axis_name=axis_name,
+            dtype=dtype,
+        )
+    else:
+        mask_h, mask_w = derive_psa_mask_dims(cfg)
+        updates["mask_h"], updates["mask_w"] = mask_h, mask_w
+        model = PSANet(
+            layers=cfg.layers,
+            classes=cfg.classes,
+            zoom_factor=cfg.zoom_factor,
+            psa_type=cfg.psa_type,
+            compact=bool(cfg.compact),
+            shrink_factor=cfg.shrink_factor,
+            mask_h=mask_h,
+            mask_w=mask_w,
+            normalization_factor=cfg.normalization_factor,
+            psa_softmax=bool(cfg.psa_softmax),
+            axis_name=axis_name,
+            dtype=dtype,
+        )
+    return model, updates

@@ -1,0 +1,72 @@
+"""Bilinear resize with align_corners=True semantics, as MXU matmuls.
+
+The reference model upsamples logits and PPM/PSA features with
+``F.interpolate(mode='bilinear', align_corners=True)`` (reference
+``model/pspnet.py:25,95``, ``model/psanet.py:61,97,169``). align_corners
+sampling maps output index ``i`` to input coordinate ``i * (in-1)/(out-1)``
+(output size 1 maps to coordinate 0), which differs from both
+``jax.image.resize`` (half-pixel centers) and cv2.
+
+Bilinear interpolation is separable, so the resize is expressed as two
+dense matrix products — ``out = M_h @ x @ M_w^T`` — which XLA tiles onto
+the MXU instead of emitting gathers. Interpolation matrices are built at
+trace time from static shapes and folded into constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] row-stochastic align-corners interpolation matrix."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1 or in_size == 1:
+        # align_corners with a single output (or input) sample: coordinate 0.
+        m[:, 0] = 1.0
+        return m
+    scale = (in_size - 1) / (out_size - 1)
+    coords = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (coords - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    m[rows, lo] += 1.0 - frac
+    m[rows, hi] += frac
+    return m
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Resize NHWC (or HWC) ``x`` to ``size=(out_h, out_w)``.
+
+    Equivalent to ``torch.nn.functional.interpolate(x_nchw, size,
+    mode='bilinear', align_corners=True)``. Works for both up- and
+    down-sampling (align_corners bilinear point-samples in both regimes).
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x[0] if squeeze else x
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h, out_h), dtype=compute_dtype)
+    mw = jnp.asarray(_interp_matrix(w, out_w), dtype=compute_dtype)
+    # precision='highest': JAX's default matmul precision truncates to
+    # bfloat16 inputs; interpolation weights must apply in full float32.
+    y = jnp.einsum(
+        "oh,nhwc->nowc", mh, x.astype(compute_dtype),
+        preferred_element_type=compute_dtype, precision="highest",
+    )
+    y = jnp.einsum(
+        "pw,nowc->nopc", mw, y,
+        preferred_element_type=compute_dtype, precision="highest",
+    )
+    y = y.astype(x.dtype)
+    return y[0] if squeeze else y
