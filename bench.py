@@ -1,0 +1,74 @@
+"""Headline benchmark: Cityscapes 1024x2048 single-scale sliding-window
+inference throughput (images/sec/chip), PSPNet50 @ 713x713 crops.
+
+Matches the BASELINE.json metric. The reference baseline is derived from
+its hardware/recipe: an RTX 2080 Ti runs the 8-window (x2 flip) 713x713
+PSPNet50 sliding-window pass at roughly 0.42 images/sec/GPU (16 forwards
+x ~185 ms/forward measured class of hardware; see BASELINE.md derivation
+anchors — the train-side anchor is 2.95 img/s/GPU on 713x713 crops at
+batch 2/GPU fwd+bwd, implying ~9 fwd-equiv/s/GPU, i.e. ~0.56 img/s for
+16-forward ss inference; 0.5 img/s/chip is used as the baseline here).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 0.5  # 8x2080Ti-derived per-GPU ss-inference rate
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+    from semseg_tpu.models import PSPNet
+
+    use_bf16 = os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model = PSPNet(layers=50, classes=19, zoom_factor=8, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    crop = 713
+    sample = jnp.zeros((1, crop, crop, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x, train=False)
+    )(rng, sample)
+
+    value_scale = 255
+    mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
+    std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
+    evaluator = SlidingWindowEvaluator(
+        model, variables,
+        classes=19, crop_h=crop, crop_w=crop, mean=mean, std=std,
+        base_size=2048, scales=[1.0],
+        window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "8")),
+    )
+
+    rs = np.random.RandomState(0)
+    image = (rs.rand(1024, 2048, 3) * 255).astype(np.float32)
+
+    # Warm-up: compiles the window-batch forward.
+    evaluator.predict(image)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        evaluator.predict(image)
+    elapsed = time.perf_counter() - start
+    images_per_sec = n_iters / elapsed
+
+    print(json.dumps({
+        "metric": "cityscapes_1024x2048_ss_inference_pspnet50",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

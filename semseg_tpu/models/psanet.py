@@ -26,7 +26,14 @@ from semseg_tpu.models.layers import ConvBN, default_precision
 from semseg_tpu.models.pspnet import SegHead
 from semseg_tpu.models.resnet import SEG_DILATIONS, SEG_STRIDES, ResNet
 from semseg_tpu.ops import psa_attention_matrix, resize_bilinear_align_corners
+from semseg_tpu.ops.psa_pallas import psa_softmax_bmm
 from semseg_tpu.ops.psamask import BI_DIRECTION, COLLECT, DISTRIBUTE
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
 
 
 class PSA(nn.Module):
@@ -39,6 +46,8 @@ class PSA(nn.Module):
     mask_w: int = 59
     normalization_factor: float = 1.0
     psa_softmax: bool = True
+    # None = auto: use the fused Pallas softmax+aggregation kernel on TPU.
+    fused_attention: Optional[bool] = None
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -76,15 +85,30 @@ class PSA(nn.Module):
         else:
             a = psa_attention_matrix(y, psa_type, self.mask_h, self.mask_w)
         a = a.astype(jnp.float32)
-        if self.psa_softmax:
-            a = nn.softmax(a, axis=1)
-        # out[n, j, c] = sum_i xr[n, i, c] * a[n, i, j]  (torch.bmm analog)
-        agg = jnp.einsum(
-            "nic,nij->njc", xr.reshape(n, hw, -1).astype(jnp.float32), a,
-            preferred_element_type=jnp.float32,
-            precision=default_precision(self.dtype),
+
+        use_fused = (
+            self.fused_attention
+            if self.fused_attention is not None
+            else _on_tpu()
         )
-        agg = agg * (1.0 / self.normalization_factor)
+        x_flat = xr.reshape(n, hw, -1)
+        if use_fused and self.psa_softmax:
+            # Fused Pallas kernel: softmax(dim=i) + aggregation in VMEM.
+            agg = psa_softmax_bmm(
+                jnp.transpose(x_flat, (0, 2, 1)).astype(jnp.float32), a,
+                self.normalization_factor,
+            )
+            agg = jnp.transpose(agg, (0, 2, 1))
+        else:
+            if self.psa_softmax:
+                a = nn.softmax(a, axis=1)
+            # out[n, j, c] = sum_i xr[n, i, c] * a[n, i, j] (torch.bmm analog)
+            agg = jnp.einsum(
+                "nic,nij->njc", x_flat.astype(jnp.float32), a,
+                preferred_element_type=jnp.float32,
+                precision=default_precision(self.dtype),
+            )
+            agg = agg * (1.0 / self.normalization_factor)
         return agg.reshape(n, h, w, -1).astype(self.dtype), (h, w)
 
     @nn.compact
@@ -121,6 +145,7 @@ class PSANet(nn.Module):
     mask_w: int = 59
     normalization_factor: float = 1.0
     psa_softmax: bool = True
+    fused_attention: Optional[bool] = None
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -155,6 +180,7 @@ class PSANet(nn.Module):
                 mask_w=self.mask_w,
                 normalization_factor=self.normalization_factor,
                 psa_softmax=self.psa_softmax,
+                fused_attention=self.fused_attention,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name="psa",

@@ -53,14 +53,18 @@ def adaptive_avg_pool2d(x: jnp.ndarray, output_size) -> jnp.ndarray:
 def max_pool2d(
     x: jnp.ndarray, kernel_size: int = 3, stride: int = 2, padding: int = 1
 ) -> jnp.ndarray:
-    """Max pooling of NHWC ``x``; padded positions never win (-inf pad)."""
+    """Max pooling of NHWC ``x``; padded positions never win (-inf pad).
+
+    The init value must be a Python scalar: JAX's reverse-mode rule for
+    reduce-window pattern-matches (max, -inf) and an array init defeats it.
+    """
     if jnp.issubdtype(x.dtype, jnp.floating):
-        init = -jnp.inf
+        init = -float("inf")
     else:
-        init = jnp.iinfo(x.dtype).min
+        init = int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
-        jnp.asarray(init, x.dtype),
+        init,
         lax.max,
         window_dimensions=(1, kernel_size, kernel_size, 1),
         window_strides=(1, stride, stride, 1),

@@ -1,0 +1,199 @@
+"""Fused PSA attention aggregation: Pallas TPU kernel.
+
+Computes ``out[c, j] = (1/norm) * sum_i x[c, i] * softmax_i(A[i, j])``
+— the softmax(dim=1) + bmm hot spot of the PSA module (reference
+``model/psanet.py:68-70``, O((H·W)²·C)) — in one kernel, so the softmaxed
+(H·W)×(H·W) attention never round-trips HBM: each query tile's column
+softmax is computed in VMEM and immediately contracted against ``x`` on
+the MXU.
+
+Grid: ``(N, HW/TJ)`` over batch and query tiles. Per step the kernel holds
+``x`` ([C, HW]) and one attention tile ([HW, TJ]) in VMEM; for the
+flagship shapes (C=512, HW≤2048 padded) that is ~4 MB + ~1 MB — well
+inside the 16 MB budget. A custom VJP recomputes the softmax tile in the
+backward kernels instead of saving it (flash-attention-style remat).
+
+Inputs are padded to lane/sublane multiples outside the kernel; padded
+attention columns are masked with -inf so they contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fwd_kernel(x_ref, a_ref, norm_ref, out_ref, *, hw: int):
+    """One (batch, query-tile) step.
+
+    x_ref:   [C, HWp]   features (source-position major)
+    a_ref:   [HWp, TJ]  attention logits for this query tile
+    norm_ref:[1, 1]     1/normalization_factor (SMEM)
+    out_ref: [C, TJ]
+    """
+    a = a_ref[0].astype(jnp.float32)
+    hwp = a.shape[0]
+    if hwp != hw:  # mask padded source rows out of the softmax
+        row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        a = jnp.where(row < hw, a, -jnp.inf)
+    col_max = jnp.max(a, axis=0, keepdims=True)
+    e = jnp.exp(a - col_max)
+    denom = jnp.sum(e, axis=0, keepdims=True)
+    p = e / denom
+    out_ref[0] = (
+        jnp.dot(
+            x_ref[0].astype(jnp.float32), p,
+            preferred_element_type=jnp.float32,
+        )
+        * norm_ref[0, 0]
+    )
+
+
+def _fwd(x: jnp.ndarray, a: jnp.ndarray, norm: float, tile_j: int,
+         interpret: bool = False):
+    n, c, hw = x.shape
+    assert a.shape == (n, hw, hw), (x.shape, a.shape)
+    hwp = _round_up(hw, SUBLANE)
+    jp = _round_up(hw, tile_j)
+    cp = _round_up(c, SUBLANE)
+    xp = jnp.pad(x, ((0, 0), (0, cp - c), (0, hwp - hw)))
+    ap = jnp.pad(a, ((0, 0), (0, hwp - hw), (0, jp - hw)))
+    norm_arr = jnp.full((1, 1), 1.0 / norm, jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, hw=hw),
+        grid=(n, jp // tile_j),
+        in_specs=[
+            pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hwp, tile_j), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cp, tile_j), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cp, jp), jnp.float32),
+        interpret=interpret,
+    )(xp, ap, norm_arr)
+    return out[:, :c, :hw]
+
+
+def _bwd_kernel(x_ref, a_ref, g_ref, norm_ref, dx_ref, da_ref, *, hw: int):
+    """Backward for one (batch, query-tile) step.
+
+    Recomputes p = softmax(a) then:
+      dx[c, i] += sum_j g[c, j] * p[i, j] * inv_norm      (dx = g @ p^T)
+      dP[i, j]  = sum_c x[c, i] * g[c, j] * inv_norm      (x^T @ g)
+      da[i, j]  = p * (dP - sum_i p * dP)                  (softmax vjp)
+    dx is accumulated across query tiles (grid dim 1 revisits the block).
+    """
+    a = a_ref[0].astype(jnp.float32)
+    hwp = a.shape[0]
+    if hwp != hw:
+        row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        a = jnp.where(row < hw, a, -jnp.inf)
+    col_max = jnp.max(a, axis=0, keepdims=True)
+    e = jnp.exp(a - col_max)
+    denom = jnp.sum(e, axis=0, keepdims=True)
+    p = e / denom
+
+    inv_norm = norm_ref[0, 0]
+    g = g_ref[0].astype(jnp.float32) * inv_norm
+    x = x_ref[0].astype(jnp.float32)
+
+    dp = jnp.dot(x.T, g, preferred_element_type=jnp.float32)
+    da_ref[0] = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
+
+    dx_tile = jnp.dot(g, p.T, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dx_ref[0] = dx_tile
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        dx_ref[0] = dx_ref[0] + dx_tile
+
+
+def _bwd(tile_j: int, norm: float, interpret: bool, residuals, grad):
+    x, a = residuals
+    n, c, hw = x.shape
+    hwp = _round_up(hw, SUBLANE)
+    jp = _round_up(hw, tile_j)
+    cp = _round_up(c, SUBLANE)
+    xp = jnp.pad(x, ((0, 0), (0, cp - c), (0, hwp - hw)))
+    ap = jnp.pad(a, ((0, 0), (0, hwp - hw), (0, jp - hw)))
+    gp = jnp.pad(grad, ((0, 0), (0, cp - c), (0, jp - hw)))
+    norm_arr = jnp.full((1, 1), 1.0 / norm, jnp.float32)
+
+    dx, da = pl.pallas_call(
+        functools.partial(_bwd_kernel, hw=hw),
+        grid=(n, jp // tile_j),
+        in_specs=[
+            pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hwp, tile_j), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp, tile_j), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hwp, tile_j), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, cp, hwp), jnp.float32),
+            jax.ShapeDtypeStruct((n, hwp, jp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp, ap, gp, norm_arr)
+    return dx[:, :c, :hw], da[:, :hw, :hw]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def psa_softmax_bmm(x, a, norm: float = 1.0, tile_j: int = LANE,
+                    interpret: bool = False):
+    """``(1/norm) * x @ softmax(a, axis=1)`` fused on TPU.
+
+    x: [N, C, HW] features; a: [N, HW, HW] attention logits (softmax over
+    axis 1). Returns [N, C, HW] float32. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU testing).
+    """
+    return _fwd(x, a, norm, tile_j, interpret)
+
+
+def _vjp_fwd(x, a, norm, tile_j, interpret):
+    return _fwd(x, a, norm, tile_j, interpret), (x, a)
+
+
+def _vjp_bwd(norm, tile_j, interpret, residuals, grad):
+    return _bwd(tile_j, norm, interpret, residuals, grad)
+
+
+psa_softmax_bmm.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def psa_softmax_bmm_reference(x, a, norm: float = 1.0):
+    """Plain-XLA reference implementation (used on CPU and in tests)."""
+    p = jax.nn.softmax(a.astype(jnp.float32), axis=1)
+    return (
+        jnp.einsum(
+            "nci,nij->ncj", x.astype(jnp.float32), p,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        / norm
+    )

@@ -129,3 +129,28 @@ def psa_mask(
     """
     n, h, w, _ = y.shape
     return psa_attention_matrix(y, psa_type, mask_h, mask_w).reshape(n, h * w, h, w)
+
+
+class PSAMask:
+    """Callable module-style wrapper (parity with the reference
+    ``lib.psa.modules.PSAMask``); defaults derive mask dims from input."""
+
+    def __init__(self, psa_type: int = COLLECT, mask_h: int | None = None,
+                 mask_w: int | None = None):
+        if psa_type not in (COLLECT, DISTRIBUTE):
+            raise ValueError(f"psa_type must be 0 or 1, got {psa_type}")
+        if (mask_h is None) != (mask_w is None):
+            raise ValueError("mask_h and mask_w must both be set or unset")
+        self.psa_type = psa_type
+        self.mask_h = mask_h
+        self.mask_w = mask_w
+
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = y.shape
+        mask_h = self.mask_h if self.mask_h is not None else 2 * h - 1
+        mask_w = self.mask_w if self.mask_w is not None else 2 * w - 1
+        if c != mask_h * mask_w:
+            raise ValueError(
+                f"channels {c} != mask_h*mask_w {mask_h * mask_w}"
+            )
+        return psa_mask(y, self.psa_type, mask_h, mask_w)

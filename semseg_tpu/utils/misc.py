@@ -17,8 +17,24 @@ def poly_learning_rate(base_lr, curr_iter, max_iter, power=0.9):
     return base_lr * (1 - float(curr_iter) / max_iter) ** power
 
 
+def check_mkdir(dir_name):
+    if not os.path.exists(dir_name):
+        os.mkdir(dir_name)
+
+
 def check_makedirs(dir_name):
     os.makedirs(dir_name, exist_ok=True)
+
+
+def find_free_port() -> int:
+    """Pick an OS-assigned free TCP port (multi-host coordinator setup)."""
+    import socket
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.bind(("", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    return port
 
 
 def colorize(gray: np.ndarray, palette) -> "object":

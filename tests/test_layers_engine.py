@@ -146,13 +146,15 @@ def test_sgd_lr_multiplier_groups(rng):
     )
     step_backbone = np.asarray(params["backbone"]["w"] - new_params["backbone"]["w"])
     step_cls = np.asarray(params["cls"]["w"] - new_params["cls"]["w"])
-    np.testing.assert_allclose(step_cls, 10.0 * step_backbone, rtol=1e-5)
+    np.testing.assert_allclose(
+        step_cls, 10.0 * step_backbone, rtol=1e-4, atol=1e-7
+    )
 
 
 def test_poly_lr_schedule():
     got = poly_lr(0.01, jnp.int32(500), 1000, 0.9)
     want = 0.01 * (1 - 500 / 1000) ** 0.9
-    np.testing.assert_allclose(float(got), want, rtol=1e-6)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
 
 
 # ---------------------------------------------------------------------------

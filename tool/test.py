@@ -1,0 +1,164 @@
+"""Whole-image multi-scale sliding-window evaluation driver.
+
+CLI-compatible with the reference tester (``tool/test.py``): loads a
+checkpoint (native or reference ``.pth``), runs multi-scale sliding-window
+inference over an index-sharded list of images, saves gray + palette-color
+PNG predictions, and scores them against ground truth (``cal_acc``).
+"""
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import cv2
+import numpy as np
+
+
+def main():
+    from semseg_tpu.config import parse_config_args
+
+    cfg = parse_config_args(
+        default_config="config/ade20k/ade20k_pspnet50.yaml"
+    )
+    run(cfg)
+
+
+def run(cfg):
+    import jax.numpy as jnp
+
+    from semseg_tpu.data import SemData, transform
+    from semseg_tpu.engine.checkpoint import load_model_variables
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+    from semseg_tpu.models.build import build_model, validate_arch
+    from semseg_tpu.utils import AverageMeter, check_makedirs, colorize
+    from semseg_tpu.utils.misc import get_logger
+
+    logger = get_logger()
+    validate_arch(cfg)
+    if cfg.split not in ("train", "val", "test"):
+        raise ValueError(f"bad split {cfg.split}")
+    logger.info("=> creating model ... classes: %d", cfg.classes)
+
+    value_scale = 255
+    mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
+    std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
+
+    gray_folder = os.path.join(cfg.save_folder, "gray")
+    color_folder = os.path.join(cfg.save_folder, "color")
+
+    test_data = SemData(
+        split=cfg.split, data_root=cfg.data_root, data_list=cfg.test_list,
+        transform=transform.Compose([transform.ToTensor()]),
+    )
+    index_start = cfg.index_start
+    index_end = (
+        len(test_data.data_list)
+        if cfg.index_step == 0
+        else min(index_start + cfg.index_step, len(test_data.data_list))
+    )
+    test_data.data_list = test_data.data_list[index_start:index_end]
+    colors = np.loadtxt(cfg.colors_path).astype("uint8")
+    names = [line.rstrip("\n") for line in open(cfg.names_path)]
+
+    if not cfg.has_prediction:
+        import jax
+
+        model, updates = build_model(cfg, dtype=jnp.float32)
+        for k, v in updates.items():
+            cfg[k] = v
+        if not (os.path.isfile(cfg.model_path) or os.path.isdir(cfg.model_path)):
+            raise RuntimeError(f"=> no checkpoint found at '{cfg.model_path}'")
+        logger.info("=> loading checkpoint '%s'", cfg.model_path)
+        variables = load_model_variables(cfg.model_path, cfg.arch, cfg.layers)
+        variables = jax.tree.map(jnp.asarray, variables)
+        logger.info("=> loaded checkpoint '%s'", cfg.model_path)
+
+        evaluator = SlidingWindowEvaluator(
+            model, variables,
+            classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
+            mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
+            window_batch=cfg.get("window_batch") or 8,
+        )
+        test(
+            logger, test_data, evaluator, gray_folder, color_folder, colors
+        )
+    if cfg.split != "test":
+        cal_acc(logger, test_data.data_list, gray_folder, cfg.classes, names)
+
+
+def test(logger, test_data, evaluator, gray_folder, color_folder, colors):
+    logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+    from semseg_tpu.utils import AverageMeter, check_makedirs, colorize
+
+    data_time, batch_time = AverageMeter(), AverageMeter()
+    end = time.time()
+    n = len(test_data)
+    for i in range(n):
+        image, _ = test_data[i]
+        data_time.update(time.time() - end)
+        gray = evaluator.predict(np.ascontiguousarray(image))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if (i + 1) % 10 == 0 or i + 1 == n:
+            logger.info(
+                "Test: [%d/%d] Data %.3f (%.3f) Batch %.3f (%.3f).",
+                i + 1, n, data_time.val, data_time.avg,
+                batch_time.val, batch_time.avg,
+            )
+        check_makedirs(gray_folder)
+        check_makedirs(color_folder)
+        color = colorize(gray, colors)
+        image_path, _ = test_data.data_list[i]
+        image_name = os.path.splitext(os.path.basename(image_path))[0]
+        cv2.imwrite(os.path.join(gray_folder, image_name + ".png"), gray)
+        color.save(os.path.join(color_folder, image_name + ".png"))
+    logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+
+
+def cal_acc(logger, data_list, pred_folder, classes, names):
+    from semseg_tpu.utils import AverageMeter
+    from semseg_tpu.utils.metrics import intersection_and_union, summarize
+
+    intersection_meter = AverageMeter()
+    union_meter = AverageMeter()
+    target_meter = AverageMeter()
+
+    for i, (image_path, target_path) in enumerate(data_list):
+        image_name = os.path.splitext(os.path.basename(image_path))[0]
+        pred = cv2.imread(
+            os.path.join(pred_folder, image_name + ".png"), cv2.IMREAD_GRAYSCALE
+        )
+        target = cv2.imread(target_path, cv2.IMREAD_GRAYSCALE)
+        intersection, union, target_hist = intersection_and_union(
+            pred, target, classes
+        )
+        intersection_meter.update(intersection)
+        union_meter.update(union)
+        target_meter.update(target_hist)
+        accuracy = sum(intersection_meter.val) / (sum(target_meter.val) + 1e-10)
+        logger.info(
+            "Evaluating %d/%d on image %s, accuracy %.4f.",
+            i + 1, len(data_list), image_name + ".png", accuracy,
+        )
+
+    m_iou, m_acc, all_acc = summarize(
+        intersection_meter.sum, union_meter.sum, target_meter.sum
+    )
+    logger.info(
+        "Eval result: mIoU/mAcc/allAcc %.4f/%.4f/%.4f.", m_iou, m_acc, all_acc
+    )
+    iou_class = intersection_meter.sum / (union_meter.sum + 1e-10)
+    accuracy_class = intersection_meter.sum / (target_meter.sum + 1e-10)
+    for i in range(classes):
+        logger.info(
+            "Class_%d result: iou/accuracy %.4f/%.4f, name: %s.",
+            i, iou_class[i], accuracy_class[i], names[i],
+        )
+    return m_iou, m_acc, all_acc
+
+
+if __name__ == "__main__":
+    main()

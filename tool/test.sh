@@ -1,0 +1,18 @@
+#!/bin/sh
+# usage: sh tool/test.sh <dataset> <exp_name>
+
+export PYTHONPATH=./
+
+eval "$(conda shell.bash hook 2>/dev/null)" 2>/dev/null || true
+
+dataset=$1
+exp_name=$2
+exp_dir=exp/${dataset}/${exp_name}
+result_dir=${exp_dir}/result
+config=config/${dataset}/${dataset}_${exp_name}.yaml
+now=$(date +"%Y%m%d_%H%M%S")
+
+mkdir -p "${result_dir}"
+cp tool/test.sh tool/test.py "${config}" "${exp_dir}"
+
+python "${exp_dir}/test.py" --config="${config}" 2>&1 | tee "${result_dir}/test-${now}.log"
