@@ -47,6 +47,7 @@ def main():
         classes=19, crop_h=crop, crop_w=crop, mean=mean, std=std,
         base_size=2048, scales=[1.0],
         window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "8")),
+        mode=os.environ.get("BENCH_PIPELINE", "device"),
     )
 
     rs = np.random.RandomState(0)

@@ -1,18 +1,28 @@
 """Multi-scale sliding-window inference engine.
 
 Numerics-compatible with the reference pipeline (``tool/test.py:122-223``):
-per scale, the long side is resized to ``round(scale * base_size)`` (cv2
-bilinear, host), the image is mean-padded to the crop size, overlapping
-crop windows on a ``ceil(crop * 2/3)`` stride are evaluated, per-window
-class probabilities are accumulated and count-normalized, un-padded,
-resized (cv2) back to the original resolution, and averaged over scales.
+per scale, the long side is resized to ``round(scale * base_size)``
+(half-pixel bilinear), the image is mean-padded to the crop size,
+overlapping crop windows on a ``ceil(crop * 2/3)`` stride are evaluated
+(with horizontal-flip TTA), per-window class probabilities are accumulated
+and count-normalized, un-padded, resized back to the original resolution,
+and averaged over scales.
 
-TPU-native redesign of the hot path: where the reference runs one window
-(plus its flip) per forward, windows are **batched** — all crops of an
-image (and their horizontal flips) are stacked into fixed-size device
-batches so the jitted forward sees one static shape per crop size and the
-MXU stays saturated. Normalization, flip TTA averaging, logit resize and
-softmax all run on device.
+Two execution modes:
+
+- ``device`` (default): the ENTIRE per-scale pipeline — scale resize, mean
+  pad, window extraction, batched forwards, flip averaging, count-map
+  stitching, un-pad, resize to original — is one jitted program per
+  (image-shape, scale). The host uploads the raw image once and reads back
+  one uint8 class map; nothing else crosses the host boundary. This is the
+  TPU-native replacement for the reference's one-window-at-a-time loop
+  (and avoids the multi-hundred-MB prob readbacks a host-stitched pipeline
+  pays per image). Resizes run as MXU matmuls (cv2 half-pixel grid for the
+  image/prob scaling, align-corners for logits, matching the reference's
+  mixed-resize semantics).
+- ``host``: cv2/numpy stitching faithful to the reference host code —
+  useful for exactness cross-checks and for variable-shape datasets where
+  per-shape compilation is not worth it.
 """
 
 from __future__ import annotations
@@ -28,6 +38,32 @@ import jax
 import jax.numpy as jnp
 
 from semseg_tpu.ops import resize_bilinear_align_corners
+from semseg_tpu.ops.resize import resize_bilinear_half_pixel
+
+
+def _grid_coords(new_h, new_w, crop_h, crop_w, stride_rate):
+    """Static sliding-grid window origins (reference tool/test.py:158-171)."""
+    stride_h = int(np.ceil(crop_h * stride_rate))
+    stride_w = int(np.ceil(crop_w * stride_rate))
+    grid_h = int(np.ceil(float(new_h - crop_h) / stride_h) + 1)
+    grid_w = int(np.ceil(float(new_w - crop_w) / stride_w) + 1)
+    coords = []
+    for ih in range(grid_h):
+        for iw in range(grid_w):
+            e_h = min(ih * stride_h + crop_h, new_h)
+            e_w = min(iw * stride_w + crop_w, new_w)
+            coords.append((e_h - crop_h, e_w - crop_w))
+    return coords
+
+
+def _scaled_size(h, w, scale, base_size):
+    long_size = round(scale * base_size)
+    new_h = new_w = long_size
+    if h > w:
+        new_w = round(long_size / float(h) * w)
+    else:
+        new_h = round(long_size / float(w) * h)
+    return new_h, new_w
 
 
 class SlidingWindowEvaluator:
@@ -46,6 +82,7 @@ class SlidingWindowEvaluator:
         flip: bool = True,
         stride_rate: float = 2 / 3,
         window_batch: int = 8,
+        mode: str = "device",
     ):
         self.model = model
         self.variables = variables
@@ -57,24 +94,134 @@ class SlidingWindowEvaluator:
         self.scales = list(scales)
         self.flip = flip
         self.stride_rate = stride_rate
-        self.window_batch = window_batch
+        self.window_batch = max(2, window_batch)
+        if mode not in ("device", "host"):
+            raise ValueError(f"mode must be 'device' or 'host', got {mode}")
+        self.mode = mode
         self._forward = jax.jit(self._forward_impl)
+        self._scale_fns = {}
 
-    def _forward_impl(self, variables, images):
-        """images: [B, crop_h, crop_w, 3] raw 0-255 RGB -> probs [B,...,C]."""
+    # ------------------------------------------------------------------
+    # shared window forward (normalize -> model -> logit resize -> softmax)
+    # ------------------------------------------------------------------
+    def _normalize(self, images):
         x = images - jnp.asarray(self.mean)
         if self.std is not None:
             x = x / jnp.asarray(self.std)
-        logits = self.model.apply(variables, x, train=False)
+        return x
+
+    def _forward_impl(self, variables, images):
+        """images: [B, crop_h, crop_w, 3] raw 0-255 RGB -> probs [B,...,C]."""
+        logits = self.model.apply(variables, self._normalize(images), train=False)
         if logits.shape[1:3] != images.shape[1:3]:
             logits = resize_bilinear_align_corners(
                 logits, (images.shape[1], images.shape[2])
             )
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+    # ------------------------------------------------------------------
+    # device mode: one jitted program per (image shape, scale)
+    # ------------------------------------------------------------------
+    def _build_scale_fn(self, h, w, scale):
+        crop_h, crop_w = self.crop_h, self.crop_w
+        new_h, new_w = _scaled_size(h, w, scale, self.base_size)
+        pad_h = max(crop_h - new_h, 0)
+        pad_w = max(crop_w - new_w, 0)
+        pad_h_half, pad_w_half = pad_h // 2, pad_w // 2
+        canvas_h, canvas_w = new_h + pad_h, new_w + pad_w
+        coords = _grid_coords(canvas_h, canvas_w, crop_h, crop_w, self.stride_rate)
+
+        count = np.zeros((canvas_h, canvas_w, 1), dtype=np.float32)
+        for (s_h, s_w) in coords:
+            count[s_h : s_h + crop_h, s_w : s_w + crop_w] += 1.0
+
+        # Chunk windows; flip doubles the model batch.
+        wb = max(1, self.window_batch // (2 if self.flip else 1))
+        n_win = len(coords)
+        n_pad = (-n_win) % wb
+        coords_arr = np.asarray(
+            coords + [(0, 0)] * n_pad, dtype=np.int32
+        ).reshape(-1, wb, 2)
+        weights_arr = np.asarray(
+            [1.0] * n_win + [0.0] * n_pad, dtype=np.float32
+        ).reshape(-1, wb)
+
+        mean = jnp.asarray(self.mean)
+        flip = self.flip
+        model_apply = self._forward_impl
+
+        def scale_fn(variables, image):
+            # 1) scale (half-pixel bilinear, cv2-equivalent)
+            img = resize_bilinear_half_pixel(image, (new_h, new_w))
+            # 2) mean-pad to at least the crop size
+            canvas_img = jnp.broadcast_to(
+                mean, (canvas_h, canvas_w, 3)
+            ).astype(jnp.float32)
+            canvas_img = jax.lax.dynamic_update_slice(
+                canvas_img, img, (pad_h_half, pad_w_half, 0)
+            )
+
+            def chunk_body(acc, xs):
+                cs, wt = xs  # [wb, 2] int32, [wb] f32
+
+                def take(c):
+                    return jax.lax.dynamic_slice(
+                        canvas_img, (c[0], c[1], 0), (crop_h, crop_w, 3)
+                    )
+
+                wins = jax.vmap(take)(cs)
+                batch = (
+                    jnp.concatenate([wins, wins[:, :, ::-1]], axis=0)
+                    if flip
+                    else wins
+                )
+                probs = model_apply(variables, batch)
+                if flip:
+                    probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2
+
+                def put(i, a):
+                    c = cs[i]
+                    patch = jax.lax.dynamic_slice(
+                        a, (c[0], c[1], 0), (crop_h, crop_w, probs.shape[-1])
+                    )
+                    return jax.lax.dynamic_update_slice(
+                        a, patch + probs[i] * wt[i], (c[0], c[1], 0)
+                    )
+
+                acc = jax.lax.fori_loop(0, wb, put, acc)
+                return acc, None
+
+            acc0 = jnp.zeros((canvas_h, canvas_w, self.classes), jnp.float32)
+            acc, _ = jax.lax.scan(
+                chunk_body, acc0,
+                (jnp.asarray(coords_arr), jnp.asarray(weights_arr)),
+            )
+            acc = acc / jnp.asarray(count)
+            # 3) un-pad, resize probs back to the original resolution
+            acc = jax.lax.dynamic_slice(
+                acc, (pad_h_half, pad_w_half, 0),
+                (new_h, new_w, self.classes),
+            )
+            return resize_bilinear_half_pixel(acc, (h, w))
+
+        return jax.jit(scale_fn)
+
+    def _predict_probs_device(self, image: np.ndarray):
+        h, w, _ = image.shape
+        img = jnp.asarray(image, jnp.float32)
+        total = None
+        for scale in self.scales:
+            key = (h, w, scale)
+            if key not in self._scale_fns:
+                self._scale_fns[key] = self._build_scale_fn(h, w, scale)
+            probs = self._scale_fns[key](self.variables, img)
+            total = probs if total is None else total + probs
+        return total / len(self.scales)
+
+    # ------------------------------------------------------------------
+    # host mode (reference-faithful cv2/numpy stitching)
+    # ------------------------------------------------------------------
     def _run_windows(self, windows: np.ndarray) -> np.ndarray:
-        """Run [N, crop_h, crop_w, 3] windows through the model in fixed-size
-        chunks (padding the tail so every launch has the same shape)."""
         n = windows.shape[0]
         wb = self.window_batch
         probs = np.empty(
@@ -103,8 +250,8 @@ class SlidingWindowEvaluator:
         return probs[0]
 
     def scale_process(self, image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-        """Sliding-window prediction of one scaled image, resized to
-        (out_h, out_w) (reference ``tool/test.py:149-178``)."""
+        """Host-stitched prediction of one scaled image
+        (reference ``tool/test.py:149-178``)."""
         ori_h, ori_w, _ = image.shape
         pad_h = max(self.crop_h - ori_h, 0)
         pad_w = max(self.crop_w - ori_w, 0)
@@ -116,22 +263,11 @@ class SlidingWindowEvaluator:
                 value=self.mean.tolist(),
             )
         new_h, new_w, _ = image.shape
-        stride_h = int(np.ceil(self.crop_h * self.stride_rate))
-        stride_w = int(np.ceil(self.crop_w * self.stride_rate))
-        grid_h = int(np.ceil(float(new_h - self.crop_h) / stride_h) + 1)
-        grid_w = int(np.ceil(float(new_w - self.crop_w) / stride_w) + 1)
-
-        # Gather every window of the grid, then batch them through the model.
-        coords = []
-        for ih in range(grid_h):
-            for iw in range(grid_w):
-                e_h = min(ih * stride_h + self.crop_h, new_h)
-                s_h = e_h - self.crop_h
-                e_w = min(iw * stride_w + self.crop_w, new_w)
-                s_w = e_w - self.crop_w
-                coords.append((s_h, e_h, s_w, e_w))
+        coords = _grid_coords(new_h, new_w, self.crop_h, self.crop_w,
+                              self.stride_rate)
         windows = np.stack(
-            [image[s_h:e_h, s_w:e_w] for (s_h, e_h, s_w, e_w) in coords]
+            [image[s_h : s_h + self.crop_h, s_w : s_w + self.crop_w]
+             for (s_h, s_w) in coords]
         )
         if self.flip:
             windows = np.concatenate([windows, windows[:, :, ::-1]], axis=0)
@@ -142,9 +278,9 @@ class SlidingWindowEvaluator:
 
         prediction = np.zeros((new_h, new_w, self.classes), dtype=np.float64)
         count = np.zeros((new_h, new_w, 1), dtype=np.float64)
-        for win_probs, (s_h, e_h, s_w, e_w) in zip(probs, coords):
-            prediction[s_h:e_h, s_w:e_w] += win_probs
-            count[s_h:e_h, s_w:e_w] += 1
+        for win_probs, (s_h, s_w) in zip(probs, coords):
+            prediction[s_h : s_h + self.crop_h, s_w : s_w + self.crop_w] += win_probs
+            count[s_h : s_h + self.crop_h, s_w : s_w + self.crop_w] += 1
         prediction /= count
         prediction = prediction[
             pad_h_half : pad_h_half + ori_h, pad_w_half : pad_w_half + ori_w
@@ -153,24 +289,30 @@ class SlidingWindowEvaluator:
             prediction, (out_w, out_h), interpolation=cv2.INTER_LINEAR
         )
 
-    def predict_probs(self, image: np.ndarray) -> np.ndarray:
-        """Full multi-scale probabilities for one RGB float32 HWC image
-        (reference ``tool/test.py:187-203``)."""
+    def _predict_probs_host(self, image: np.ndarray) -> np.ndarray:
         h, w, _ = image.shape
         prediction = np.zeros((h, w, self.classes), dtype=np.float64)
         for scale in self.scales:
-            long_size = round(scale * self.base_size)
-            new_h = new_w = long_size
-            if h > w:
-                new_w = round(long_size / float(h) * w)
-            else:
-                new_h = round(long_size / float(w) * h)
+            new_h, new_w = _scaled_size(h, w, scale, self.base_size)
             image_scale = cv2.resize(
                 image, (new_w, new_h), interpolation=cv2.INTER_LINEAR
             )
             prediction += self.scale_process(image_scale, h, w)
         return prediction / len(self.scales)
 
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def predict_probs(self, image: np.ndarray) -> np.ndarray:
+        """Full multi-scale class probabilities for one RGB float32 HWC
+        image (reference ``tool/test.py:187-203``)."""
+        if self.mode == "device":
+            return np.asarray(self._predict_probs_device(image))
+        return self._predict_probs_host(image)
+
     def predict(self, image: np.ndarray) -> np.ndarray:
-        """argmax class map for one image."""
-        return np.argmax(self.predict_probs(image), axis=2).astype(np.uint8)
+        """argmax class map for one image (uint8)."""
+        if self.mode == "device":
+            probs = self._predict_probs_device(image)
+            return np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
+        return np.argmax(self._predict_probs_host(image), axis=2).astype(np.uint8)

@@ -41,6 +41,40 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_half_pixel(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] half-pixel-centers bilinear matrix (cv2 INTER_LINEAR grid):
+    ``src = (dst + 0.5) * in/out - 0.5`` with edge clamping."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    coords = np.clip(coords, 0.0, in_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (coords - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    m[rows, lo] += 1.0 - frac
+    m[rows, hi] += frac
+    return m
+
+
+def _apply_separable(x, mh, mw, squeeze):
+    compute_dtype = mh.dtype
+    # precision='highest': JAX's default matmul precision truncates to
+    # bfloat16 inputs; interpolation weights must apply in full float32.
+    y = jnp.einsum(
+        "oh,nhwc->nowc", mh, x.astype(compute_dtype),
+        preferred_element_type=compute_dtype, precision="highest",
+    )
+    y = jnp.einsum(
+        "pw,nowc->nopc", mw, y,
+        preferred_element_type=compute_dtype, precision="highest",
+    )
+    y = y.astype(x.dtype)
+    return y[0] if squeeze else y
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     """Resize NHWC (or HWC) ``x`` to ``size=(out_h, out_w)``.
 
@@ -58,15 +92,22 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
     mh = jnp.asarray(_interp_matrix(h, out_h), dtype=compute_dtype)
     mw = jnp.asarray(_interp_matrix(w, out_w), dtype=compute_dtype)
-    # precision='highest': JAX's default matmul precision truncates to
-    # bfloat16 inputs; interpolation weights must apply in full float32.
-    y = jnp.einsum(
-        "oh,nhwc->nowc", mh, x.astype(compute_dtype),
-        preferred_element_type=compute_dtype, precision="highest",
-    )
-    y = jnp.einsum(
-        "pw,nowc->nopc", mw, y,
-        preferred_element_type=compute_dtype, precision="highest",
-    )
-    y = y.astype(x.dtype)
-    return y[0] if squeeze else y
+    return _apply_separable(x, mh, mw, squeeze)
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Resize NHWC (or HWC) ``x`` with half-pixel sample centers — the
+    device equivalent of ``cv2.resize(..., interpolation=INTER_LINEAR)``
+    (modulo cv2's 11-bit fixed-point weights). Lets the whole sliding-
+    window pipeline stay on device."""
+    out_h, out_w = int(size[0]), int(size[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x[0] if squeeze else x
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix_half_pixel(h, out_h), dtype=compute_dtype)
+    mw = jnp.asarray(_interp_matrix_half_pixel(w, out_w), dtype=compute_dtype)
+    return _apply_separable(x, mh, mw, squeeze)

@@ -122,26 +122,57 @@ class _PerPixelModel:
     """Stand-in 'model' whose logits depend only on the local pixel —
     sliding-window stitching must then be exact regardless of the grid."""
 
+    def __init__(self, threshold=50.0):
+        self.threshold = threshold
+
     def apply(self, variables, x, train=False):
         import jax.numpy as jnp
 
         mean = jnp.mean(x, axis=-1, keepdims=True)
-        return jnp.concatenate([mean, 50.0 - mean], axis=-1)
+        return jnp.concatenate([mean, self.threshold - mean], axis=-1)
 
 
-def test_sliding_window_stitch_exact():
+@pytest.mark.parametrize("mode", ["device", "host"])
+def test_sliding_window_stitch_exact(mode):
     from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
 
     evaluator = SlidingWindowEvaluator(
         _PerPixelModel(), {}, classes=2, crop_h=17, crop_w=17,
         mean=[0.0, 0.0, 0.0], std=None, base_size=40, scales=[1.0],
-        flip=True, window_batch=4,
+        flip=True, window_batch=4, mode=mode,
     )
     rs = np.random.RandomState(1)
     image = (rs.rand(40, 40, 3) * 100).astype(np.float32)
     pred = evaluator.predict(image)
     want = (image.mean(axis=-1) <= 25.0).astype(np.uint8)
     np.testing.assert_array_equal(pred, want)
+
+
+def test_device_pipeline_matches_host_pipeline():
+    """Multi-scale device-resident pipeline vs the reference-faithful host
+    pipeline: probabilities agree within interpolation tolerance."""
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+
+    rs = np.random.RandomState(2)
+    image = (rs.rand(37, 52, 3) * 255).astype(np.float32)
+    kwargs = dict(
+        classes=2, crop_h=17, crop_w=17, mean=[10.0, 20.0, 30.0],
+        std=[55.0, 55.0, 55.0], base_size=52,
+        scales=[0.75, 1.0, 1.25], flip=True, window_batch=4,
+    )
+    # Decision boundary at normalized value 1.0 — inside the data range so
+    # the argmax actually varies across the image.
+    dev = SlidingWindowEvaluator(
+        _PerPixelModel(2.0), {}, mode="device", **kwargs
+    )
+    host = SlidingWindowEvaluator(
+        _PerPixelModel(2.0), {}, mode="host", **kwargs
+    )
+    p_dev = dev.predict_probs(image)
+    p_host = host.predict_probs(image)
+    np.testing.assert_allclose(p_dev, p_host, atol=2e-2, rtol=1e-2)
+    agree = (np.argmax(p_dev, -1) == np.argmax(p_host, -1)).mean()
+    assert agree > 0.995, agree
 
 
 def test_cal_acc_scoring(synth_dataset, tmp_path):

@@ -56,6 +56,27 @@ def test_resize_align_corners_matches_torch(rng, in_hw, out_hw):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((20, 30), (40, 60)),     # upscale
+        ((41, 61), (20, 30)),     # downscale
+        ((1024, 64), (512, 32)),  # long-side halving
+        ((13, 17), (29, 23)),     # odd mixed
+    ],
+)
+def test_resize_half_pixel_matches_cv2(rng, in_hw, out_hw):
+    import cv2
+
+    from semseg_tpu.ops.resize import resize_bilinear_half_pixel
+
+    x = (rng.rand(*in_hw, 3) * 255).astype(np.float32)
+    got = np.asarray(resize_bilinear_half_pixel(jnp.asarray(x), out_hw))
+    want = cv2.resize(x, out_hw[::-1], interpolation=cv2.INTER_LINEAR)
+    # cv2 uses 11-bit fixed-point interpolation weights; allow that slack.
+    np.testing.assert_allclose(got, want, atol=0.5, rtol=1e-3)
+
+
 def test_resize_identity_is_noop(rng):
     x = rng.randn(1, 7, 7, 2).astype(np.float32)
     got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (7, 7)))

@@ -91,6 +91,7 @@ def run(cfg):
         classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
         mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
         window_batch=cfg.get("window_batch") or 8,
+        mode=cfg.get("eval_pipeline") or "device",
     )
 
     image_path = cfg.image

@@ -81,6 +81,10 @@ def run(cfg):
             classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
             mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
             window_batch=cfg.get("window_batch") or 8,
+            # 'device' compiles one program per (image shape, scale) — ideal
+            # for fixed-size datasets (Cityscapes); 'host' avoids per-shape
+            # compiles on variable-size datasets (ADE20K/VOC).
+            mode=cfg.get("eval_pipeline") or "device",
         )
         test(
             logger, test_data, evaluator, gray_folder, color_folder, colors
