@@ -51,16 +51,19 @@ def main():
     )
 
     rs = np.random.RandomState(0)
-    image = (rs.rand(1024, 2048, 3) * 255).astype(np.float32)
+    # uint8, like a decoded PNG/JPEG: the device pipeline casts on-chip.
+    image = (rs.rand(1024, 2048, 3) * 255).astype(np.uint8)
 
-    # Warm-up: compiles the window-batch forward.
+    # Warm-up: compiles the per-scale program.
     evaluator.predict(image)
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "8"))
     start = time.perf_counter()
-    for _ in range(n_iters):
-        evaluator.predict(image)
+    # Async dispatch pipeline: upload/compute/readback overlap across images.
+    pending = [evaluator.predict_async(image) for _ in range(n_iters)]
+    results = [np.asarray(p) for p in pending]
     elapsed = time.perf_counter() - start
+    assert all(r.shape == (1024, 2048) for r in results)
     images_per_sec = n_iters / elapsed
 
     print(json.dumps({

@@ -151,6 +151,9 @@ class SlidingWindowEvaluator:
         model_apply = self._forward_impl
 
         def scale_fn(variables, image):
+            # Accept uint8 uploads (4x less host->device traffic) and cast
+            # on device; values are 0-255 either way.
+            image = image.astype(jnp.float32)
             # 1) scale (half-pixel bilinear, cv2-equivalent)
             img = resize_bilinear_half_pixel(image, (new_h, new_w))
             # 2) mean-pad to at least the crop size
@@ -208,7 +211,8 @@ class SlidingWindowEvaluator:
 
     def _predict_probs_device(self, image: np.ndarray):
         h, w, _ = image.shape
-        img = jnp.asarray(image, jnp.float32)
+        # Keep uint8 images uint8 for the transfer; cast happens on device.
+        img = jnp.asarray(image)
         total = None
         for scale in self.scales:
             key = (h, w, scale)
@@ -310,9 +314,21 @@ class SlidingWindowEvaluator:
             return np.asarray(self._predict_probs_device(image))
         return self._predict_probs_host(image)
 
+    def predict_async(self, image: np.ndarray):
+        """Dispatch one image and return the (lazy) device uint8 class map.
+
+        JAX dispatch is asynchronous: callers can enqueue the next image's
+        upload/compute while this one runs, and materialize results with
+        ``np.asarray`` later — upload, compute and readback pipeline across
+        images instead of serializing on every host sync.
+        """
+        if self.mode != "device":
+            raise ValueError("predict_async requires mode='device'")
+        probs = self._predict_probs_device(image)
+        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
     def predict(self, image: np.ndarray) -> np.ndarray:
         """argmax class map for one image (uint8)."""
         if self.mode == "device":
-            probs = self._predict_probs_device(image)
-            return np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
+            return np.asarray(self.predict_async(image))
         return np.argmax(self._predict_probs_host(image), axis=2).astype(np.uint8)
