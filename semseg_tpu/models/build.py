@@ -64,6 +64,7 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32):
             layers=cfg.layers,
             classes=cfg.classes,
             zoom_factor=cfg.zoom_factor,
+            remat=bool(cfg.get("remat") or False),
             axis_name=axis_name,
             dtype=dtype,
         )
@@ -81,6 +82,7 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32):
             mask_w=mask_w,
             normalization_factor=cfg.normalization_factor,
             psa_softmax=bool(cfg.psa_softmax),
+            remat=bool(cfg.get("remat") or False),
             axis_name=axis_name,
             dtype=dtype,
         )

@@ -146,6 +146,7 @@ class PSANet(nn.Module):
     normalization_factor: float = 1.0
     psa_softmax: bool = True
     fused_attention: Optional[bool] = None
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -163,6 +164,7 @@ class PSANet(nn.Module):
             depth=self.layers,
             stage_strides=SEG_STRIDES,
             stage_dilations=SEG_DILATIONS,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="backbone",

@@ -84,6 +84,7 @@ class PSPNet(nn.Module):
     classes: int = 2
     zoom_factor: int = 8
     use_ppm: bool = True
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -102,6 +103,7 @@ class PSPNet(nn.Module):
             depth=self.layers,
             stage_strides=SEG_STRIDES,
             stage_dilations=SEG_DILATIONS,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="backbone",

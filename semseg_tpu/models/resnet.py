@@ -117,6 +117,9 @@ class ResNet(nn.Module):
     deep_base: bool = True
     stage_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     stage_dilations: Tuple[int, int, int, int] = (1, 1, 1, 1)
+    # Rematerialize each residual block in the backward pass (trades ~30%
+    # FLOPs for activation memory — enables big crops / batches per chip).
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -147,14 +150,20 @@ class ResNet(nn.Module):
                 needs_ds = first and (
                     stride != 1 or in_planes != planes * block_cls.expansion
                 )
-                x = block_cls(
+                block = block_cls(
                     planes=planes,
                     stride=stride if first else 1,
                     dilation=dilation,
                     use_downsample=needs_ds,
                     name=f"layer{stage + 1}_block{b}",
                     **common,
-                )(x, train)
+                )
+                if self.remat:
+                    x = nn.remat(
+                        lambda mdl, h: mdl(h, train), prevent_cse=False
+                    )(block, x)
+                else:
+                    x = block(x, train)
                 if first:
                     in_planes = planes * block_cls.expansion
             feats.append(x)
