@@ -1,0 +1,93 @@
+"""Checkpoint subsystem: save/restore round trip, rolling retention,
+latest-checkpoint discovery, torch .pth conversion path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from semseg_tpu.engine import checkpoint as ckpt
+from semseg_tpu.engine.optim import SGDState
+from semseg_tpu.engine.trainer import TrainState
+
+
+def _state(seed=0):
+    rs = np.random.RandomState(seed)
+    params = {"backbone": {"w": jnp.asarray(rs.randn(3, 4).astype(np.float32))}}
+    stats = {"backbone": {"bn": {"mean": jnp.zeros(4), "var": jnp.ones(4)}}}
+    return TrainState(
+        params=params,
+        batch_stats=stats,
+        opt=SGDState(momentum={"backbone": {"w": jnp.zeros((3, 4))}}),
+        step=jnp.asarray(7, jnp.int32),
+    )
+
+
+def test_save_restore_round_trip(tmp_path):
+    state = _state()
+    path = ckpt.save_checkpoint(str(tmp_path), 3, state)
+    assert path.endswith("train_epoch_3.ckpt")
+    payload = ckpt.restore_checkpoint(path)
+    assert payload["epoch"] == 3
+    assert int(payload["step"]) == 7
+    np.testing.assert_array_equal(
+        payload["params"]["backbone"]["w"],
+        np.asarray(state.params["backbone"]["w"]),
+    )
+    np.testing.assert_array_equal(
+        payload["momentum"]["backbone"]["w"], np.zeros((3, 4))
+    )
+
+
+def test_rolling_retention_keeps_two(tmp_path):
+    state = _state()
+    for epoch in range(1, 6):
+        ckpt.save_checkpoint(str(tmp_path), epoch, state, save_freq=1, keep=2)
+    existing = sorted(os.listdir(tmp_path))
+    assert existing == ["train_epoch_4.ckpt", "train_epoch_5.ckpt"]
+
+
+def test_latest_checkpoint_discovery(tmp_path):
+    assert ckpt.latest_checkpoint(str(tmp_path)) is None
+    state = _state()
+    ckpt.save_checkpoint(str(tmp_path), 2, state, keep=10)
+    ckpt.save_checkpoint(str(tmp_path), 10, state, keep=10)
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("train_epoch_10.ckpt")
+
+
+def test_load_model_variables_native(tmp_path):
+    state = _state()
+    path = ckpt.save_checkpoint(str(tmp_path), 1, state)
+    variables = ckpt.load_model_variables(path, "psp", 50)
+    assert set(variables) == {"params", "batch_stats"}
+    np.testing.assert_array_equal(
+        variables["params"]["backbone"]["w"],
+        np.asarray(state.params["backbone"]["w"]),
+    )
+
+
+@pytest.mark.slow
+def test_load_model_variables_torch_pth(tmp_path):
+    """A reference-style .pth (DDP-prefixed) converts on load."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from model.pspnet import PSPNet as TorchPSPNet
+
+    torch.manual_seed(0)
+    tm = TorchPSPNet(layers=50, classes=5, zoom_factor=8, pretrained=False)
+    sd = {f"module.{k}": v for k, v in tm.state_dict().items()}
+    path = str(tmp_path / "ref.pth")
+    torch.save({"epoch": 1, "state_dict": sd}, path)
+
+    variables = ckpt.load_model_variables(path, "psp", 50)
+    assert "backbone" in variables["params"]
+    assert "ppm" in variables["params"]
+    # conv kernels transposed OIHW -> HWIO
+    k = variables["params"]["backbone"]["stem_cb1"]["conv"]["kernel"]
+    assert k.shape == (3, 3, 3, 64)

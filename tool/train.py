@@ -59,8 +59,14 @@ def run(cfg):
         np.random.seed(cfg.manual_seed)
 
     # Multi-host init (no-op single-host). The reference's TCP rendezvous
-    # (tool/train.py:103-119) is replaced by the JAX coordinator.
-    if int(os.environ.get("SEMSEG_NUM_HOSTS", "1")) > 1:
+    # (tool/train.py:103-119) is replaced by the JAX coordinator: set
+    # SEMSEG_NUM_HOSTS>1 or the standard JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES env and launch one process per host.
+    if (
+        int(os.environ.get("SEMSEG_NUM_HOSTS", "1")) > 1
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
+    ):
         jax.distributed.initialize()
 
     is_main = jax.process_index() == 0
