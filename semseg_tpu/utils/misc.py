@@ -57,6 +57,7 @@ def get_logger(name: str = "main-logger"):
     if logger.handlers:
         return logger
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     handler = logging.StreamHandler()
     fmt = "[%(asctime)s %(levelname)s %(filename)s line %(lineno)d %(process)d] %(message)s"
     handler.setFormatter(logging.Formatter(fmt))

@@ -37,11 +37,16 @@ def main():
     args = parser.parse_args()
     cfg = load_cfg(args.config)
     opts = list(args.opts or [])
-    # Allow "image <path>" through the generic KEY VALUE override stream.
-    if "image" in opts:
-        idx = opts.index("image")
-        cfg["image"] = opts[idx + 1]
-        del opts[idx : idx + 2]
+    # Demo-only keys accepted through the generic KEY VALUE stream even
+    # though they are not part of the experiment YAML schema.
+    for extra in ("image", "allow_random_weights", "eval_pipeline",
+                  "window_batch"):
+        if extra in opts:
+            idx = opts.index(extra)
+            from semseg_tpu.config import _decode_value
+
+            cfg[extra] = _decode_value(opts[idx + 1])
+            del opts[idx : idx + 2]
     if args.image:
         cfg["image"] = args.image
     if opts:
