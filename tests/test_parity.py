@@ -119,6 +119,23 @@ def test_psanet50_eval_parity(reference_models, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_pspnet101_eval_parity(reference_models, rng):
+    """Covers the 101-depth block-count table in the converter."""
+    from model.pspnet import PSPNet as TorchPSPNet
+
+    from semseg_tpu.models import PSPNet
+
+    torch_model = TorchPSPNet(
+        layers=101, classes=5, zoom_factor=8, pretrained=False
+    )
+    x = rng.randn(1, 3, 25, 25).astype(np.float32)
+    got, want = _convert_and_run(
+        torch_model, "psp", 101, x,
+        PSPNet(layers=101, classes=5, zoom_factor=8),
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_imagenet_resnet_converter(reference_models, rng):
     """Backbone-only converter: raw torch deep-base ResNet state_dict."""
     from model.resnet import resnet50 as torch_resnet50
