@@ -95,11 +95,18 @@ class SlidingWindowEvaluator:
         self.flip = flip
         self.stride_rate = stride_rate
         self.window_batch = max(2, window_batch)
-        if mode not in ("device", "host"):
-            raise ValueError(f"mode must be 'device' or 'host', got {mode}")
+        if mode not in ("device", "device_bucketed", "host"):
+            raise ValueError(
+                f"mode must be 'device', 'device_bucketed' or 'host', got {mode}"
+            )
         self.mode = mode
         self._forward = jax.jit(self._forward_impl)
         self._scale_fns = {}
+        self._bucketed = None
+        if mode == "device_bucketed":
+            from semseg_tpu.engine.bucketed import BucketedPipeline
+
+            self._bucketed = BucketedPipeline(self)
 
     # ------------------------------------------------------------------
     # shared window forward (normalize -> model -> logit resize -> softmax)
@@ -312,23 +319,30 @@ class SlidingWindowEvaluator:
         image (reference ``tool/test.py:187-203``)."""
         if self.mode == "device":
             return np.asarray(self._predict_probs_device(image))
+        if self.mode == "device_bucketed":
+            probs, (h, w) = self._bucketed.predict_probs(image)
+            return np.asarray(probs)[:h, :w]
         return self._predict_probs_host(image)
 
     def predict_async(self, image: np.ndarray):
-        """Dispatch one image and return the (lazy) device uint8 class map.
+        """Dispatch one image and return the (lazy) device uint8 class map
+        plus the crop needed to trim bucket padding.
 
         JAX dispatch is asynchronous: callers can enqueue the next image's
         upload/compute while this one runs, and materialize results with
         ``np.asarray`` later — upload, compute and readback pipeline across
         images instead of serializing on every host sync.
         """
-        if self.mode != "device":
-            raise ValueError("predict_async requires mode='device'")
-        probs = self._predict_probs_device(image)
-        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        if self.mode == "device":
+            probs = self._predict_probs_device(image)
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        if self.mode == "device_bucketed":
+            probs, (h, w) = self._bucketed.predict_probs(image)
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)[:h, :w]
+        raise ValueError("predict_async requires a device mode")
 
     def predict(self, image: np.ndarray) -> np.ndarray:
         """argmax class map for one image (uint8)."""
-        if self.mode == "device":
+        if self.mode in ("device", "device_bucketed"):
             return np.asarray(self.predict_async(image))
         return np.argmax(self._predict_probs_host(image), axis=2).astype(np.uint8)

@@ -175,6 +175,38 @@ def test_device_pipeline_matches_host_pipeline():
     assert agree > 0.995, agree
 
 
+def test_bucketed_pipeline_matches_host_across_shapes():
+    """device_bucketed must agree with the host reference pipeline on
+    variable image shapes (the ADE20K/VOC case) while reusing programs."""
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+
+    rs = np.random.RandomState(3)
+    kwargs = dict(
+        classes=2, crop_h=17, crop_w=17, mean=[10.0, 20.0, 30.0],
+        std=[55.0, 55.0, 55.0], base_size=48,
+        scales=[0.75, 1.0], flip=True, window_batch=4,
+    )
+    dev = SlidingWindowEvaluator(
+        _PerPixelModel(2.0), {}, mode="device_bucketed", **kwargs
+    )
+    host = SlidingWindowEvaluator(
+        _PerPixelModel(2.0), {}, mode="host", **kwargs
+    )
+    for shape in [(37, 52), (41, 33), (52, 37), (64, 64)]:
+        image = (rs.rand(*shape, 3) * 255).astype(np.float32)
+        p_dev = dev.predict_probs(image)
+        p_host = host.predict_probs(image)
+        assert p_dev.shape == p_host.shape == (*shape, 2)
+        np.testing.assert_allclose(
+            p_dev, p_host, atol=2e-2, rtol=1e-2,
+            err_msg=f"shape {shape}",
+        )
+        agree = (np.argmax(p_dev, -1) == np.argmax(p_host, -1)).mean()
+        assert agree > 0.99, (shape, agree)
+    # program reuse: bounded compile count across 4 shapes x 2 scales
+    assert len(dev._bucketed._programs) <= 4
+
+
 def test_cal_acc_scoring(synth_dataset, tmp_path):
     """tool/test.py scoring path: perfect predictions -> mIoU 1.0."""
     import logging

@@ -76,15 +76,24 @@ def run(cfg):
         variables = jax.tree.map(jnp.asarray, variables)
         logger.info("=> loaded checkpoint '%s'", cfg.model_path)
 
+        # Pipeline selection: 'device' compiles one program per (image
+        # shape, scale) — ideal for fixed-size datasets (Cityscapes);
+        # 'device_bucketed' bounds compiles for variable-size datasets
+        # (ADE20K/VOC); 'host' is the cv2/numpy exactness fallback.
+        mode = cfg.get("eval_pipeline")
+        if not mode:
+            probe = [
+                cv2.imread(p, cv2.IMREAD_COLOR).shape
+                for p, _ in test_data.data_list[:4]
+            ]
+            mode = "device" if len(set(probe)) <= 1 else "device_bucketed"
+            logger.info("eval_pipeline auto-selected: %s", mode)
         evaluator = SlidingWindowEvaluator(
             model, variables,
             classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
             mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
             window_batch=cfg.get("window_batch") or 8,
-            # 'device' compiles one program per (image shape, scale) — ideal
-            # for fixed-size datasets (Cityscapes); 'host' avoids per-shape
-            # compiles on variable-size datasets (ADE20K/VOC).
-            mode=cfg.get("eval_pipeline") or "device",
+            mode=mode,
         )
         test(
             logger, test_data, evaluator, gray_folder, color_folder, colors
