@@ -27,8 +27,6 @@ Two execution modes:
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional, Sequence
 
 import cv2

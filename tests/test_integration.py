@@ -229,6 +229,39 @@ def test_cal_acc_scoring(synth_dataset, tmp_path):
     assert all_acc == pytest.approx(1.0)
 
 
+def test_test_driver_end_to_end(synth_dataset, tmp_path):
+    """Train 1 epoch, then run the full test driver on the checkpoint:
+    sliding-window inference, PNG outputs, cal_acc scoring."""
+    train_tool = _load_tool("train")
+    test_tool = _load_tool("test")
+    cfg = _train_cfg(synth_dataset, tmp_path, evaluate=False)
+    train_tool.run(cfg)
+
+    colors_path = tmp_path / "colors.txt"
+    colors_path.write_text("0 0 0\n255 0 0\n0 255 0\n0 0 255\n")
+    names_path = tmp_path / "names.txt"
+    names_path.write_text("a\nb\nc\nd\n")
+    test_cfg = _train_cfg(synth_dataset, tmp_path)
+    test_cfg.update(dict(
+        test_list=synth_dataset["list_file"], split="val",
+        base_size=40, test_h=25, test_w=25, scales=[1.0],
+        has_prediction=False, index_start=0, index_step=3,
+        model_path=os.path.join(str(tmp_path / "model"), "train_epoch_1.ckpt"),
+        save_folder=str(tmp_path / "result"),
+        colors_path=str(colors_path), names_path=str(names_path),
+        window_batch=4, eval_pipeline="device_bucketed",
+    ))
+    test_tool.run(test_cfg)
+    grays = os.listdir(tmp_path / "result" / "gray")
+    colors = os.listdir(tmp_path / "result" / "color")
+    assert len(grays) == 3 and len(colors) == 3  # index_step sharding
+    pred = cv2.imread(
+        str(tmp_path / "result" / "gray" / grays[0]), cv2.IMREAD_GRAYSCALE
+    )
+    assert pred.shape == (30, 40)
+    assert pred.max() <= 3
+
+
 def test_demo_driver(synth_dataset, tmp_path):
     demo_tool = _load_tool("demo")
     img_path = os.path.join(synth_dataset["data_root"], "img0.png")
