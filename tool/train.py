@@ -261,46 +261,61 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
     from semseg_tpu.utils import AverageMeter
     from semseg_tpu.utils.metrics import summarize
 
+    import jax.numpy as jnp
+
     batch_time, data_time = AverageMeter(), AverageMeter()
-    meters = {k: AverageMeter() for k in ("main_loss", "aux_loss", "loss")}
-    inter_sum = union_sum = target_sum = 0
+    # Metric accumulation stays ON DEVICE; the host syncs only at
+    # print_freq boundaries and at epoch end. Every host sync costs a
+    # full device round trip, so per-step device_get would serialize the
+    # otherwise-async step pipeline.
+    acc = None
     end = time.time()
     for i, (images, labels) in enumerate(loader):
         data_time.update(time.time() - end)
         gi, gl = to_global(images, labels)
         state, metrics = train_step(state, gi, gl)
-        metrics = jax.device_get(metrics)
-        n = images.shape[0]
-        for k in ("main_loss", "aux_loss", "loss"):
-            meters[k].update(float(metrics[k]), n)
-        inter_sum = inter_sum + metrics["intersection"]
-        union_sum = union_sum + metrics["union"]
-        target_sum = target_sum + metrics["target"]
+        if acc is None:
+            acc = {
+                k: metrics[k] for k in ("intersection", "union", "target")
+            }
+            acc.update(
+                {k: metrics[k] for k in ("main_loss", "aux_loss", "loss")}
+            )
+        else:
+            acc = {k: acc[k] + metrics[k] for k in acc}
         batch_time.update(time.time() - end)
         end = time.time()
 
         current_iter = epoch * steps_per_epoch + i + 1
         if (i + 1) % cfg.print_freq == 0 and is_main:
+            m = jax.device_get(metrics)  # sync point (every print_freq)
             remain = (max_iter - current_iter) * batch_time.avg
             t_m, t_s = divmod(int(remain), 60)
             t_h, t_m = divmod(t_m, 60)
-            accuracy = metrics["intersection"].sum() / (
-                metrics["target"].sum() + 1e-10
-            )
+            accuracy = m["intersection"].sum() / (m["target"].sum() + 1e-10)
             logger.info(
                 "Epoch: [%d/%d][%d/%d] Data %.3f (%.3f) Batch %.3f (%.3f) "
                 "Remain %02d:%02d:%02d MainLoss %.4f AuxLoss %.4f Loss %.4f "
                 "Accuracy %.4f lr %.6f",
                 epoch + 1, cfg.epochs, i + 1, steps_per_epoch,
                 data_time.val, data_time.avg, batch_time.val, batch_time.avg,
-                t_h, t_m, t_s, meters["main_loss"].val,
-                meters["aux_loss"].val, meters["loss"].val, accuracy,
-                float(metrics["lr"]),
+                t_h, t_m, t_s, float(m["main_loss"]),
+                float(m["aux_loss"]), float(m["loss"]), accuracy,
+                float(m["lr"]),
             )
-        if is_main and writer is not None:
-            writer.add_scalar("loss_train_batch", meters["main_loss"].val, current_iter)
+            if writer is not None:
+                writer.add_scalar(
+                    "loss_train_batch", float(m["main_loss"]), current_iter
+                )
 
-    m_iou, m_acc, all_acc = summarize(inter_sum, union_sum, target_sum)
+    steps = max(i + 1, 1) if acc is not None else 1
+    if acc is None:
+        return {"state": state, "loss": 0.0, "mIoU": 0.0, "mAcc": 0.0,
+                "allAcc": 0.0}
+    totals = jax.device_get(acc)
+    m_iou, m_acc, all_acc = summarize(
+        totals["intersection"], totals["union"], totals["target"]
+    )
     if is_main:
         logger.info(
             "Train result at epoch [%d/%d]: mIoU/mAcc/allAcc %.4f/%.4f/%.4f.",
@@ -308,7 +323,7 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
         )
     return {
         "state": state,
-        "loss": meters["main_loss"].avg,
+        "loss": float(totals["main_loss"]) / steps,
         "mIoU": m_iou,
         "mAcc": m_acc,
         "allAcc": all_acc,
