@@ -249,7 +249,7 @@ def test_test_driver_end_to_end(synth_dataset, tmp_path):
         model_path=os.path.join(str(tmp_path / "model"), "train_epoch_1.ckpt"),
         save_folder=str(tmp_path / "result"),
         colors_path=str(colors_path), names_path=str(names_path),
-        window_batch=4, eval_pipeline="device_bucketed",
+        window_batch=4,  # eval_pipeline unset: exercises auto-selection
     ))
     test_tool.run(test_cfg)
     grays = os.listdir(tmp_path / "result" / "gray")
