@@ -74,9 +74,17 @@ def run(cfg):
     num_devices = jax.device_count()
     logger.info("devices: %d (%d hosts)", num_devices, jax.process_count())
 
-    compute_dtype = (
-        jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
-    )
+    # TPU-first default: bf16 compute (f32 params/stats) unless the config
+    # pins a dtype. CPU keeps f32 (bf16 is emulated and slow there).
+    dtype_name = cfg.get("compute_dtype")
+    if dtype_name is None:
+        dtype_name = (
+            "bfloat16"
+            if jax.default_backend() in ("tpu", "axon")
+            else "float32"
+        )
+    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    logger.info("compute dtype: %s", dtype_name)
     model, updates = build_model(cfg, dtype=compute_dtype)
     for k, v in updates.items():
         cfg[k] = v
