@@ -42,10 +42,13 @@ def main():
     value_scale = 255
     mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
     std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
+    import ast
+
+    scales = ast.literal_eval(os.environ.get("BENCH_SCALES", "[1.0]"))
     evaluator = SlidingWindowEvaluator(
         model, variables,
         classes=19, crop_h=crop, crop_w=crop, mean=mean, std=std,
-        base_size=2048, scales=[1.0],
+        base_size=2048, scales=scales,
         # 16 = the full window grid (8 crops x flip) in ONE forward.
         window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "16")),
         mode=os.environ.get("BENCH_PIPELINE", "device"),
