@@ -85,15 +85,29 @@ class DataLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         prefetch: int = 2,
+        deterministic_augment: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.seed = seed
+        # Seed transform randomness per (seed, epoch, sample index) so
+        # augmentation is reproducible for any worker count/scheduling
+        # (fixes the reference's unwired worker_init_fn).
+        self.deterministic_augment = deterministic_augment
         self.sampler = EpochSampler(
             len(dataset), shuffle, seed, shard_index, num_shards
         )
+
+    def _fetch(self, index: int):
+        if not self.deterministic_augment:
+            return self.dataset[index]
+        from semseg_tpu.data.transform import per_sample_rng
+
+        with per_sample_rng(self.seed, self.sampler.epoch, int(index)):
+            return self.dataset[index]
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
@@ -115,7 +129,7 @@ class DataLoader:
     def __iter__(self):
         if self.num_workers <= 0:
             for batch_idx in self._batches():
-                yield _stack_batch([self.dataset[i] for i in batch_idx])
+                yield _stack_batch([self._fetch(i) for i in batch_idx])
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
@@ -128,7 +142,7 @@ class DataLoader:
                     for batch_idx in self._batches():
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        samples = list(pool.map(self._fetch, batch_idx))
                         out_q.put(_stack_batch(samples))
                 except BaseException as exc:  # propagate to consumer
                     out_q.put(exc)

@@ -6,13 +6,18 @@ fill for images and ignore-label fill for labels, normalization in 0-255
 scale. Outputs stay numpy (HWC float32 image, HW int64 label) — device
 transfer happens in the loader/engine, not per-sample.
 
-Randomness comes from Python's ``random`` module (like the reference) so
-``random.seed`` reproduces augmentation streams; pass ``rng`` for isolated
-streams.
+Randomness: by default transforms draw from a context-local RNG when one
+is active (see ``per_sample_rng`` — the loader seeds one per (seed, epoch,
+sample) so augmentation is deterministic regardless of worker count or
+thread scheduling, fixing the reference's unwired ``worker_init_fn``,
+reference ``tool/train.py:50-51``), falling back to Python's global
+``random`` module otherwise. Pass ``rng`` explicitly for isolated streams.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 import numbers
 import random as _random
@@ -20,6 +25,40 @@ from typing import Iterable, Optional, Sequence
 
 import cv2
 import numpy as np
+
+_context_rng: contextvars.ContextVar = contextvars.ContextVar(
+    "semseg_transform_rng", default=None
+)
+
+
+@contextlib.contextmanager
+def per_sample_rng(seed: int, epoch: int, index: int):
+    """Activate a deterministic RNG for the transforms in this context.
+
+    The stream depends only on (seed, epoch, index) — identical batches
+    for any worker count or scheduling order.
+    """
+    rng = _random.Random((seed * 1_000_003 + epoch) * 1_000_003 + index)
+    token = _context_rng.set(rng)
+    try:
+        yield rng
+    finally:
+        _context_rng.reset(token)
+
+
+class _RngProxy:
+    """Resolves to the context RNG if active, else the global module."""
+
+    def random(self):
+        rng = _context_rng.get()
+        return (rng or _random).random()
+
+    def randint(self, a, b):
+        rng = _context_rng.get()
+        return (rng or _random).randint(a, b)
+
+
+_default_rng = _RngProxy()
 
 cv2.setNumThreads(0)
 try:
@@ -116,7 +155,7 @@ class RandScale:
             ):
                 raise ValueError(f"bad aspect_ratio range {aspect_ratio}")
         self.aspect_ratio = aspect_ratio
-        self.rng = rng or _random
+        self.rng = rng or _default_rng
 
     def __call__(self, image, label):
         scale = self.scale[0] + (self.scale[1] - self.scale[0]) * self.rng.random()
@@ -164,7 +203,7 @@ class Crop:
         if not isinstance(ignore_label, int):
             raise ValueError("ignore_label must be an int")
         self.ignore_label = ignore_label
-        self.rng = rng or _random
+        self.rng = rng or _default_rng
 
     def __call__(self, image, label):
         h, w = label.shape
@@ -207,7 +246,7 @@ class RandRotate:
         self.padding = list(padding)
         self.ignore_label = ignore_label
         self.p = p
-        self.rng = rng or _random
+        self.rng = rng or _default_rng
 
     def __call__(self, image, label):
         if self.rng.random() < self.p:
@@ -230,7 +269,7 @@ class RandRotate:
 class RandomHorizontalFlip:
     def __init__(self, p=0.5, rng=None):
         self.p = p
-        self.rng = rng or _random
+        self.rng = rng or _default_rng
 
     def __call__(self, image, label):
         if self.rng.random() < self.p:
@@ -242,7 +281,7 @@ class RandomHorizontalFlip:
 class RandomVerticalFlip:
     def __init__(self, p=0.5, rng=None):
         self.p = p
-        self.rng = rng or _random
+        self.rng = rng or _default_rng
 
     def __call__(self, image, label):
         if self.rng.random() < self.p:
@@ -255,7 +294,7 @@ class RandomGaussianBlur:
     def __init__(self, radius=5, p=0.5, rng=None):
         self.radius = radius
         self.p = p
-        self.rng = rng or _random
+        self.rng = rng or _default_rng
 
     def __call__(self, image, label):
         if self.rng.random() < self.p:

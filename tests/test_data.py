@@ -200,6 +200,40 @@ def test_loader_batches_and_shards(disk_dataset):
     assert set(s0.tolist()) | set(s1.tolist()) == set(range(10))
 
 
+def test_augmentation_deterministic_across_worker_counts(disk_dataset):
+    """Per-sample seeded RNG: identical batches for any worker count
+    (the reference's augmentation order depends on thread scheduling)."""
+    root, lst, _ = disk_dataset
+    aug = transform.Compose([
+        transform.RandScale([0.5, 2.0]),
+        transform.RandRotate([-10, 10], padding=[0.0, 0.0, 0.0]),
+        transform.RandomHorizontalFlip(),
+        transform.Crop((10, 10), crop_type="rand", padding=[0.0, 0.0, 0.0]),
+        transform.ToTensor(),
+    ])
+    ds = SemData("train", root, lst, transform=aug)
+
+    def run(workers):
+        loader = DataLoader(ds, batch_size=5, shuffle=True, seed=3,
+                            num_workers=workers)
+        loader.set_epoch(2)
+        return [b for b in loader]
+
+    a = run(0)
+    b = run(4)
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+    # different epochs give different augmentation
+    loader = DataLoader(ds, batch_size=5, shuffle=False, seed=3, num_workers=0)
+    loader.set_epoch(0)
+    e0 = next(iter(loader))
+    loader.set_epoch(1)
+    e1 = next(iter(loader))
+    assert not np.array_equal(e0[0], e1[0])
+
+
 def test_loader_propagates_worker_errors(disk_dataset):
     root, lst, _ = disk_dataset
 
