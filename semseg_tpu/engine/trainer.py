@@ -139,7 +139,11 @@ def make_train_step(
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
 
-        lr = poly_lr(base_lr, state.step + 1, max_iter, power)
+        # Reference timing: the optimizer's LR is set for the *next*
+        # iteration after stepping (tool/train.py:299-304), so iteration k
+        # (0-based step counter) uses poly(k / max_iter) — the first step
+        # runs at exactly base_lr.
+        lr = poly_lr(base_lr, state.step, max_iter, power)
         lr_mult = make_lr_mult(state.params)
         new_params, new_opt = sgd_update(
             state.params, grads, state.opt, lr, lr_mult,

@@ -128,3 +128,22 @@ def test_shipped_configs_load(path):
 
 def test_all_twelve_configs_present():
     assert len(ALL_CONFIGS) == 12
+
+
+def test_override_edge_cases(yaml_file):
+    cfg = cfgmod.load_cfg(yaml_file)
+    # paths with slashes stay strings (SyntaxError path in literal_eval)
+    merged = cfgmod.merge_cfg_from_list(cfg, ["data_root", "exp/a/b.c"])
+    assert merged.data_root == "exp/a/b.c"
+    # 'None' resets an option
+    merged = cfgmod.merge_cfg_from_list(cfg, ["manual_seed", "None"])
+    assert merged.manual_seed is None
+    # negative numbers decode
+    merged = cfgmod.merge_cfg_from_list(cfg, ["classes", "-1"])
+    assert merged.classes == -1
+    # booleans by name
+    merged = cfgmod.merge_cfg_from_list(cfg, ["sync_bn", "True"])
+    assert merged.sync_bn is True
+    # dotted key: only last component matters, even nonsense prefixes
+    merged = cfgmod.merge_cfg_from_list(cfg, ["X.Y.Z.arch", "psa"])
+    assert merged.arch == "psa"

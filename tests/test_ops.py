@@ -167,6 +167,21 @@ def test_psa_mask_matches_reference_semantics(rng, psa_type, feat_hw, mask_hw):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
+def test_psa_mask_at_flagship_scale(rng):
+    """Real ADE20K PSA dims: 30x30 features, 59x59 mask (fully dense)."""
+    feat_h = feat_w = 30
+    mask_h = mask_w = 59
+    mask_nchw = rng.randn(1, mask_h * mask_w, feat_h, feat_w).astype(np.float32)
+    want = psamask_oracle(mask_nchw, 0, mask_h, mask_w)
+    got = np.asarray(
+        psa_mask(jnp.asarray(mask_nchw.transpose(0, 2, 3, 1)), 0, mask_h, mask_w)
+    )
+    np.testing.assert_array_equal(got, want)
+    # fully dense: no structural zeros at default mask extent
+    assert (got != 0).all() or (mask_nchw == 0).any() is False
+
+
 def test_psa_attention_matrix_matches_buffer_view(rng):
     feat_h = feat_w = 5
     mask_h = mask_w = 2 * feat_h - 1
