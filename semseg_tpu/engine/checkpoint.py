@@ -72,6 +72,51 @@ def restore_checkpoint(path: str) -> dict:
     return _checkpointer().restore(os.path.abspath(path))
 
 
+def load_pretrained_backbone(state, layers: int, path: str):
+    """Overlay ImageNet-pretrained deep-base ResNet weights onto the
+    backbone subtree of a fresh TrainState.
+
+    Mirrors the reference default of building seg models with
+    ``pretrained=True`` (``model/resnet.py:199-200`` loads
+    ``initmodel/resnet{50,101,152}_v2.pth`` with strict=False inside the
+    constructor; ``tool/train.py:121-126`` relies on it). Only keys that
+    exist in the fresh backbone are overlaid, so the classifier ``fc`` of
+    the ImageNet checkpoint is ignored, like strict=False.
+
+    Returns (new_state, unused_torch_keys).
+    """
+    from semseg_tpu.models.convert import (
+        convert_imagenet_resnet,
+        load_torch_checkpoint,
+    )
+
+    variables, unused = convert_imagenet_resnet(load_torch_checkpoint(path), layers)
+
+    def overlay(base, new):
+        if not isinstance(base, dict):
+            return np.asarray(new, dtype=np.float32) if new is not None else base
+        return {
+            k: overlay(v, new.get(k)) if isinstance(new, dict) and k in new else v
+            for k, v in base.items()
+        }
+
+    params = dict(state.params)
+    params["backbone"] = overlay(
+        state.params["backbone"], variables["params"].get("backbone", {})
+    )
+    batch_stats = dict(state.batch_stats)
+    if "backbone" in batch_stats:
+        batch_stats["backbone"] = overlay(
+            state.batch_stats["backbone"],
+            variables["batch_stats"].get("backbone", {}),
+        )
+    new_state = state._replace(
+        params=jax.tree.map(np.asarray, params),
+        batch_stats=jax.tree.map(np.asarray, batch_stats),
+    )
+    return new_state, [k for k in unused if not k.startswith("fc.")]
+
+
 def load_model_variables(path: str, arch: str, layers: int) -> dict:
     """Load eval variables {'params', 'batch_stats'} from either a native
     checkpoint directory or a reference torch ``.pth`` file."""

@@ -65,7 +65,6 @@ def replica_mean_ce(logits, labels, num_replicas: int, ignore_index: int):
     b = logits.shape[0]
     assert b % num_replicas == 0, (b, num_replicas)
     group = b // num_replicas
-    loss_sum, count = cross_entropy_sum(logits, labels, ignore_index)
     # Per-group means: reshape keeps the leading (sharded) axis outermost.
     lg = logits.reshape(num_replicas, group, *logits.shape[1:])
     tg = labels.reshape(num_replicas, group, *labels.shape[1:])
@@ -76,7 +75,7 @@ def replica_mean_ce(logits, labels, num_replicas: int, ignore_index: int):
     axes = tuple(range(1, nll.ndim))
     group_sum = jnp.sum(nll * valid, axis=axes)
     group_cnt = jnp.maximum(jnp.sum(valid, axis=axes), 1.0)
-    return jnp.mean(group_sum / group_cnt), loss_sum, count
+    return jnp.mean(group_sum / group_cnt)
 
 
 def make_train_step(
@@ -126,10 +125,10 @@ def make_train_step(
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
-            main_loss, _, _ = replica_mean_ce(
+            main_loss = replica_mean_ce(
                 logits, labels_t, num_replicas, ignore_label
             )
-            aux_loss, _, _ = replica_mean_ce(
+            aux_loss = replica_mean_ce(
                 aux_logits, labels_t, num_replicas, ignore_label
             )
             loss = main_loss + aux_weight * aux_loss

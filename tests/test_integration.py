@@ -118,6 +118,70 @@ def test_loss_decreases_over_steps(synth_dataset, tmp_path):
     assert min(losses[-2:]) < losses[0], losses
 
 
+def test_train_driver_uneven_val_batches(synth_dataset, tmp_path):
+    """Validation with len(val) % batch_size_val != 0: the trailing partial
+    batch is padded with ignore-labeled filler (8-device mesh cannot place
+    a batch of 5). Reference analog: drop_last=False val loader
+    (tool/train.py:213-218)."""
+    train_tool = _load_tool("train")
+    # 5 val samples, batch_size_val 8 -> one partial batch of 5
+    val_list = tmp_path / "val.txt"
+    val_list.write_text(
+        "".join(f"img{i}.png lab{i}.png\n" for i in range(5))
+    )
+    cfg = _train_cfg(synth_dataset, tmp_path, val_list=str(val_list))
+    state = train_tool.run(cfg)
+    assert int(state.step) == 1
+
+
+def test_train_driver_model_parallel(synth_dataset, tmp_path):
+    """`model_parallel: 2` config key -> (4, 2) mesh with TP head sharding,
+    end-to-end through the driver."""
+    train_tool = _load_tool("train")
+    cfg = _train_cfg(
+        synth_dataset, tmp_path, model_parallel=2, evaluate=False
+    )
+    state = train_tool.run(cfg)
+    assert int(state.step) == 1
+    leaf = jax.tree.leaves(state.params)[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_train_driver_pretrained_init(synth_dataset, tmp_path):
+    """ImageNet-pretrained backbone initialization through the driver:
+    `initmodel:` points at a torch deep-base checkpoint; with lr=0 the
+    backbone params after one epoch equal the converted torch weights,
+    and head params stay freshly initialized (reference
+    model/resnet.py:199-200, tool/train.py:121-126)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from model.resnet import resnet50
+
+    torch.manual_seed(3)
+    tm = resnet50(pretrained=False, deep_base=True)
+    with torch.no_grad():
+        tm.bn1.running_mean.copy_(torch.arange(64.0) / 64.0)
+    pth = tmp_path / "resnet50_v2.pth"
+    torch.save(tm.state_dict(), str(pth))
+
+    train_tool = _load_tool("train")
+    cfg = _train_cfg(
+        synth_dataset, tmp_path, initmodel=str(pth), evaluate=False,
+        base_lr=0.0,
+    )
+    state = train_tool.run(cfg)
+
+    want = tm.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(state.params["backbone"]["stem_cb1"]["conv"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=0)
+    # head logits conv must remain fresh-init (not present in the
+    # ImageNet checkpoint), i.e. not all equal to any torch tensor
+    assert "conv_logits" in state.params["cls"]
+
+
 class _PerPixelModel:
     """Stand-in 'model' whose logits depend only on the local pixel —
     sliding-window stitching must then be exact regardless of the grid."""

@@ -178,7 +178,7 @@ def test_replica_mean_ce_matches_ddp_semantics(rng):
     labels = rng.randint(0, 4, size=(8, 5, 5)).astype(np.int64)
     labels[0] = 255  # replica 0, sample 0 heavily ignored -> unequal counts
     num_replicas = 4
-    got, _, _ = replica_mean_ce(
+    got = replica_mean_ce(
         jnp.asarray(logits), jnp.asarray(labels), num_replicas, 255
     )
     per_replica = []

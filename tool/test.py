@@ -82,12 +82,22 @@ def run(cfg):
         # (ADE20K/VOC); 'host' is the cv2/numpy exactness fallback.
         mode = cfg.get("eval_pipeline")
         if not mode:
+            # Probe a spread of images, not just the head of the list: a
+            # dataset whose first few images share a shape but later vary
+            # would otherwise pick 'device' and compile per shape. Header
+            # sniffing keeps this cheap even for large lists.
+            n_list = len(test_data.data_list)
+            probe_idx = sorted(
+                {int(i) for i in np.linspace(0, max(n_list - 1, 0), num=min(16, n_list))}
+            )
             probe = [
-                cv2.imread(p, cv2.IMREAD_COLOR).shape
-                for p, _ in test_data.data_list[:4]
+                _image_shape(test_data.data_list[i][0]) for i in probe_idx
             ]
             mode = "device" if len(set(probe)) <= 1 else "device_bucketed"
-            logger.info("eval_pipeline auto-selected: %s", mode)
+            logger.info(
+                "eval_pipeline auto-selected: %s (%d shapes over %d probes)",
+                mode, len(set(probe)), len(probe),
+            )
         evaluator = SlidingWindowEvaluator(
             model, variables,
             classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
@@ -100,6 +110,39 @@ def run(cfg):
         )
     if cfg.split != "test":
         cal_acc(logger, test_data.data_list, gray_folder, cfg.classes, names)
+
+
+def _image_shape(path):
+    """(H, W) of an image file without decoding the pixels when possible
+    (PNG/JPEG header sniff; cv2 fallback)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":
+                import struct
+
+                w, h = struct.unpack(">II", head[16:24])
+                return (h, w)
+            if head[:2] == b"\xff\xd8":  # JPEG: walk segments for SOFn
+                import struct
+
+                f.seek(2)
+                while True:
+                    marker = f.read(2)
+                    if len(marker) < 2 or marker[0] != 0xFF:
+                        break
+                    if 0xC0 <= marker[1] <= 0xCF and marker[1] not in (
+                        0xC4, 0xC8, 0xCC,
+                    ):
+                        f.read(3)
+                        h, w = struct.unpack(">HH", f.read(4))
+                        return (h, w)
+                    (size,) = struct.unpack(">H", f.read(2))
+                    f.seek(size - 2, 1)
+    except Exception:
+        pass
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    return img.shape[:2]
 
 
 def test(logger, test_data, evaluator, gray_folder, color_folder, colors):

@@ -70,30 +70,52 @@ def run(cfg):
         jax.distributed.initialize()
 
     is_main = jax.process_index() == 0
-    mesh = create_mesh()
     num_devices = jax.device_count()
-    logger.info("devices: %d (%d hosts)", num_devices, jax.process_count())
-
-    # TPU-first default: bf16 compute (f32 params/stats) unless the config
-    # pins a dtype. CPU keeps f32 (bf16 is emulated and slow there).
-    dtype_name = cfg.get("compute_dtype")
-    if dtype_name is None:
-        dtype_name = (
-            "bfloat16"
-            if jax.default_backend() in ("tpu", "axon")
-            else "float32"
+    # `model_parallel: N` shards the wide head layers' output channels over
+    # an N-sized `model` mesh axis (semseg_tpu/parallel/sharding_rules.py);
+    # the batch shards over the remaining `data` axis. Default 1 = pure DP,
+    # the reference's only strategy.
+    model_parallel = int(cfg.get("model_parallel") or 1)
+    if num_devices % model_parallel != 0:
+        raise ValueError(
+            f"model_parallel {model_parallel} does not divide "
+            f"{num_devices} devices"
         )
+    mesh = create_mesh(model=model_parallel)
+    data_parallel = num_devices // model_parallel
+    logger.info(
+        "devices: %d (%d hosts), mesh: (data=%d, model=%d)",
+        num_devices, jax.process_count(), data_parallel, model_parallel,
+    )
+
+    # Training defaults to float32 compute, matching the reference recipe's
+    # numerics (torch trains f32). `compute_dtype: bfloat16` opts into the
+    # faster MXU path (params/stats stay f32 either way) — validate mIoU at
+    # recipe scale before switching production runs.
+    dtype_name = cfg.get("compute_dtype") or "float32"
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    logger.info("compute dtype: %s", dtype_name)
+    if dtype_name == "bfloat16":
+        logger.info(
+            "compute dtype: bfloat16 (deviates from the reference's f32 "
+            "recipe; faster on TPU, validate mIoU parity)"
+        )
+    else:
+        logger.info("compute dtype: %s", dtype_name)
     model, updates = build_model(cfg, dtype=compute_dtype)
     for k, v in updates.items():
         cfg[k] = v
     if is_main:
         logger.info("=> creating model ... classes: %d", cfg.classes)
 
-    if cfg.batch_size % num_devices != 0:
+    if cfg.batch_size % data_parallel != 0:
         raise ValueError(
-            f"batch_size {cfg.batch_size} not divisible by {num_devices} devices"
+            f"batch_size {cfg.batch_size} not divisible by the data axis "
+            f"({data_parallel} replicas)"
+        )
+    if cfg.evaluate and cfg.batch_size_val % data_parallel != 0:
+        raise ValueError(
+            f"batch_size_val {cfg.batch_size_val} not divisible by the "
+            f"data axis ({data_parallel} replicas)"
         )
 
     # --- data ---------------------------------------------------------------
@@ -152,6 +174,32 @@ def run(cfg):
     state = create_train_state(model, rng, sample)
     start_epoch = cfg.start_epoch
 
+    # ImageNet-pretrained backbone init (reference builds seg models with
+    # pretrained=True, loading ./initmodel/resnet{layers}_v2.pth inside the
+    # ResNet constructor, model/resnet.py:199-200, tool/train.py:121-126).
+    # `pretrained: False` or a missing file skips it; `initmodel:` overrides
+    # the path. Load order matches the reference: pretrained -> weight ->
+    # resume, later loads overwriting earlier ones.
+    if cfg.get("pretrained", True):
+        init_path = cfg.get("initmodel") or os.path.join(
+            "initmodel", f"resnet{cfg.layers}_v2.pth"
+        )
+        if os.path.isfile(init_path):
+            logger.info(
+                "=> loading ImageNet-pretrained backbone '%s'", init_path
+            )
+            state, unused = ckpt.load_pretrained_backbone(
+                state, cfg.layers, init_path
+            )
+            if unused:
+                logger.warning("unconverted pretrained keys: %s", unused)
+        else:
+            logger.warning(
+                "=> no pretrained backbone at '%s' — training from scratch "
+                "deviates from the reference recipe (set pretrained: False "
+                "to silence)", init_path,
+            )
+
     if cfg.get("weight"):
         if os.path.isfile(cfg.weight) or os.path.isdir(cfg.weight):
             logger.info("=> loading weight '%s'", cfg.weight)
@@ -198,7 +246,7 @@ def run(cfg):
         momentum=cfg.momentum,
         weight_decay=cfg.weight_decay,
         zoom_factor=cfg.zoom_factor,
-        num_replicas=num_devices,
+        num_replicas=data_parallel,
         rng_seed=cfg.get("manual_seed") or 0,
     )
     eval_step = make_eval_step(
@@ -209,6 +257,13 @@ def run(cfg):
     writer = _make_writer(cfg.save_path) if is_main else None
     if is_main:
         check_makedirs(cfg.save_path)
+
+    # Place the state on the mesh: TP PartitionSpecs for the head params
+    # (replication when model_parallel == 1). Without this, jit would
+    # implicitly reshard every step.
+    from semseg_tpu.parallel.sharding_rules import shard_train_state
+
+    state = shard_train_state(state, mesh)
 
     sharding = batch_sharding(mesh)
 
@@ -272,55 +327,76 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
     import jax.numpy as jnp
 
     batch_time, data_time = AverageMeter(), AverageMeter()
-    # Metric accumulation stays ON DEVICE; the host syncs only at
-    # print_freq boundaries and at epoch end. Every host sync costs a
-    # full device round trip, so per-step device_get would serialize the
-    # otherwise-async step pipeline.
-    acc = None
+    # Per-step metrics stay ON DEVICE in a pending buffer; the host syncs
+    # only at print_freq boundaries and at epoch end. Every host sync costs
+    # a full device round trip, so per-step device_get would serialize the
+    # otherwise-async step pipeline. Flushing the buffer still yields
+    # per-iteration tensorboard scalars (loss/mIoU/mAcc/allAcc_train_batch,
+    # reference tool/train.py:327-331), written retroactively in order.
+    totals = None
+    pending = []  # (current_iter, device metrics) awaiting flush
+    steps = 0
+
+    def flush(last_log=None):
+        nonlocal totals
+        fetched = jax.device_get([m for _, m in pending])
+        for (it, _), m in zip(pending, fetched):
+            if totals is None:
+                totals = dict(m)
+            else:
+                for k in totals:
+                    totals[k] = totals[k] + m[k]
+            if writer is not None:
+                inter, union, target = (
+                    m["intersection"], m["union"], m["target"]
+                )
+                writer.add_scalar("loss_train_batch", float(m["main_loss"]), it)
+                writer.add_scalar(
+                    "mIoU_train_batch", float(np.mean(inter / (union + 1e-10))), it
+                )
+                writer.add_scalar(
+                    "mAcc_train_batch", float(np.mean(inter / (target + 1e-10))), it
+                )
+                writer.add_scalar(
+                    "allAcc_train_batch",
+                    float(inter.sum() / (target.sum() + 1e-10)), it,
+                )
+        last = fetched[-1] if fetched else None
+        pending.clear()
+        return last
+
     end = time.time()
-    for i, (images, labels) in enumerate(loader):
+    for i, (gi, gl) in enumerate(_device_prefetch(loader, to_global)):
         data_time.update(time.time() - end)
-        gi, gl = to_global(images, labels)
         state, metrics = train_step(state, gi, gl)
-        if acc is None:
-            acc = {
-                k: metrics[k] for k in ("intersection", "union", "target")
-            }
-            acc.update(
-                {k: metrics[k] for k in ("main_loss", "aux_loss", "loss")}
-            )
-        else:
-            acc = {k: acc[k] + metrics[k] for k in acc}
+        steps += 1
+        current_iter = epoch * steps_per_epoch + i + 1
+        pending.append((current_iter, metrics))
         batch_time.update(time.time() - end)
         end = time.time()
 
-        current_iter = epoch * steps_per_epoch + i + 1
-        if (i + 1) % cfg.print_freq == 0 and is_main:
-            m = jax.device_get(metrics)  # sync point (every print_freq)
-            remain = (max_iter - current_iter) * batch_time.avg
-            t_m, t_s = divmod(int(remain), 60)
-            t_h, t_m = divmod(t_m, 60)
-            accuracy = m["intersection"].sum() / (m["target"].sum() + 1e-10)
-            logger.info(
-                "Epoch: [%d/%d][%d/%d] Data %.3f (%.3f) Batch %.3f (%.3f) "
-                "Remain %02d:%02d:%02d MainLoss %.4f AuxLoss %.4f Loss %.4f "
-                "Accuracy %.4f lr %.6f",
-                epoch + 1, cfg.epochs, i + 1, steps_per_epoch,
-                data_time.val, data_time.avg, batch_time.val, batch_time.avg,
-                t_h, t_m, t_s, float(m["main_loss"]),
-                float(m["aux_loss"]), float(m["loss"]), accuracy,
-                float(m["lr"]),
-            )
-            if writer is not None:
-                writer.add_scalar(
-                    "loss_train_batch", float(m["main_loss"]), current_iter
+        if (i + 1) % cfg.print_freq == 0:
+            m = flush()  # sync point (every print_freq)
+            if is_main and m is not None:
+                remain = (max_iter - current_iter) * batch_time.avg
+                t_m, t_s = divmod(int(remain), 60)
+                t_h, t_m = divmod(t_m, 60)
+                accuracy = m["intersection"].sum() / (m["target"].sum() + 1e-10)
+                logger.info(
+                    "Epoch: [%d/%d][%d/%d] Data %.3f (%.3f) Batch %.3f (%.3f) "
+                    "Remain %02d:%02d:%02d MainLoss %.4f AuxLoss %.4f Loss %.4f "
+                    "Accuracy %.4f lr %.6f",
+                    epoch + 1, cfg.epochs, i + 1, steps_per_epoch,
+                    data_time.val, data_time.avg, batch_time.val, batch_time.avg,
+                    t_h, t_m, t_s, float(m["main_loss"]),
+                    float(m["aux_loss"]), float(m["loss"]), accuracy,
+                    float(m["lr"]),
                 )
+    flush()
 
-    steps = max(i + 1, 1) if acc is not None else 1
-    if acc is None:
+    if totals is None:
         return {"state": state, "loss": 0.0, "mIoU": 0.0, "mAcc": 0.0,
                 "allAcc": 0.0}
-    totals = jax.device_get(acc)
     m_iou, m_acc, all_acc = summarize(
         totals["intersection"], totals["union"], totals["target"]
     )
@@ -338,22 +414,79 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
     }
 
 
+def _device_prefetch(iterator, to_global, depth=2):
+    """Keep ``depth`` batches staged on the device ahead of consumption.
+
+    The host issues the (async) host->device transfer of batch k+1 while
+    the device still executes step k, hiding transfer latency behind
+    compute — the double-buffering the reference gets implicitly from
+    ``.cuda(non_blocking=True)`` + CUDA streams (tool/train.py:267-268).
+    The host-side loader already overlaps augmentation via its prefetch
+    queue; this closes the remaining transfer/dispatch gap.
+    """
+    from collections import deque
+
+    buf = deque()
+    it = iter(iterator)
+    exhausted = False
+    while True:
+        while not exhausted and len(buf) < depth:
+            try:
+                buf.append(to_global(*next(it)))
+            except StopIteration:
+                exhausted = True
+        if not buf:
+            return
+        yield buf.popleft()
+
+
+def _pad_batch(images, labels, full, ignore_label):
+    """Pad a trailing partial batch to ``full`` samples with ignore-labeled
+    filler. Padded pixels carry ``ignore_label`` so they are excluded from
+    the CE loss_sum/valid_count and the metric histograms — the GSPMD
+    equivalent of the reference's drop_last=False validation loader
+    (reference tool/train.py:213-218) without uneven shapes that a
+    batch-sharded device_put cannot place."""
+    n = images.shape[0]
+    if n == full:
+        return images, labels
+    pad = full - n
+    images = np.concatenate(
+        [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+    )
+    labels = np.concatenate(
+        [labels, np.full((pad,) + labels.shape[1:], ignore_label, labels.dtype)]
+    )
+    return images, labels
+
+
 def _validate(cfg, logger, is_main, loader, eval_step, state, to_global):
     import jax
 
     from semseg_tpu.utils.metrics import summarize
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    inter = union = target = 0
-    loss_sum = count_sum = 0.0
-    for images, labels in loader:
-        gi, gl = to_global(images, labels)
-        metrics = jax.device_get(eval_step(variables, gi, gl))
-        inter = inter + metrics["intersection"]
-        union = union + metrics["union"]
-        target = target + metrics["target"]
-        loss_sum += float(metrics["loss_sum"])
-        count_sum += float(metrics["valid_count"])
+    host_batch = cfg.batch_size_val // jax.process_count()
+
+    def stage(images, labels):
+        return to_global(
+            *_pad_batch(images, labels, host_batch, cfg.ignore_label)
+        )
+
+    # Accumulate on device (tiny adds); one host sync at the end keeps the
+    # eval steps pipelined back-to-back.
+    acc = None
+    for gi, gl in _device_prefetch(loader, stage):
+        metrics = eval_step(variables, gi, gl)
+        acc = metrics if acc is None else {
+            k: acc[k] + metrics[k] for k in acc
+        }
+    if acc is None:
+        return {"loss": 0.0, "mIoU": 0.0, "mAcc": 0.0, "allAcc": 0.0}
+    acc = jax.device_get(acc)
+    inter, union, target = acc["intersection"], acc["union"], acc["target"]
+    loss_sum = float(acc["loss_sum"])
+    count_sum = float(acc["valid_count"])
     m_iou, m_acc, all_acc = summarize(inter, union, target)
     if is_main:
         logger.info(
