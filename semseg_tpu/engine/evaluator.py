@@ -54,6 +54,26 @@ def _grid_coords(new_h, new_w, crop_h, crop_w, stride_rate):
     return coords
 
 
+def _cv2_resize_mc(array: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """cv2.resize(INTER_LINEAR) for any channel count.
+
+    cv2 5.x rejects >4-channel Mats (the reference ran on cv2 3/4 where
+    ``cv2.resize(prediction_crop, ...)`` with C=classes worked,
+    ``tool/test.py:177``); resizing in <=4-channel chunks is numerically
+    identical since channels are independent.
+    """
+    c = array.shape[2] if array.ndim == 3 else 1
+    if c <= 4:
+        return cv2.resize(array, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+    parts = [
+        cv2.resize(array[:, :, i : i + 4], (out_w, out_h),
+                   interpolation=cv2.INTER_LINEAR)
+        for i in range(0, c, 4)
+    ]
+    parts = [p if p.ndim == 3 else p[:, :, None] for p in parts]
+    return np.concatenate(parts, axis=2)
+
+
 def _scaled_size(h, w, scale, base_size):
     long_size = round(scale * base_size)
     new_h = new_w = long_size
@@ -294,9 +314,7 @@ class SlidingWindowEvaluator:
         prediction = prediction[
             pad_h_half : pad_h_half + ori_h, pad_w_half : pad_w_half + ori_w
         ]
-        return cv2.resize(
-            prediction, (out_w, out_h), interpolation=cv2.INTER_LINEAR
-        )
+        return _cv2_resize_mc(prediction, out_w, out_h)
 
     def _predict_probs_host(self, image: np.ndarray) -> np.ndarray:
         h, w, _ = image.shape

@@ -1,0 +1,258 @@
+"""Driver-captured performance report (real TPU chip).
+
+Reproduces every PARITY.md performance claim from one script:
+
+    python tool/perf_report.py [section ...]
+
+Sections: train (synthetic-batch train steps for all four recipes),
+loader (end-to-end train throughput with the real augmentation loader),
+eval (ADE20K-style variable-shape bucketed eval + Cityscapes ss eval).
+Default: all. Prints one JSON line per measurement.
+
+Timing method: warm-up (compile) excluded; N steps dispatched
+back-to-back and synced once (the TPU relay adds ~40 ms per host sync, so
+per-step sync would swamp the measurement; chained dispatch matches how
+the real train loop runs).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _emit(name, **kv):
+    print(json.dumps({"measurement": name, **kv}), flush=True)
+
+
+def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
+                     steps=16, **model_kw):
+    import jax
+    import jax.numpy as jnp
+
+    from semseg_tpu.engine.trainer import create_train_state, make_train_step
+    from semseg_tpu.models import PSANet, PSPNet
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    if arch == "psp":
+        model = PSPNet(layers=layers, classes=classes, zoom_factor=8,
+                       dtype=dtype)
+    else:
+        model = PSANet(layers=layers, classes=classes, zoom_factor=8,
+                       dtype=dtype, **model_kw)
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((batch, crop, crop, 3), jnp.float32)
+    state = create_train_state(model, rng, sample)
+    step = make_train_step(
+        model, classes=classes, ignore_label=255, aux_weight=0.4,
+        base_lr=0.01, max_iter=100000, power=0.9, momentum=0.9,
+        weight_decay=1e-4, zoom_factor=8, num_replicas=1,
+    )
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(batch, crop, crop, 3).astype(np.float32))
+    labels = jnp.asarray(
+        rs.randint(0, classes, size=(batch, crop, crop)).astype(np.int32)
+    )
+    state, metrics = step(state, images, labels)  # compile
+    jax.block_until_ready(state.params)
+    start = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, images, labels)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+    return elapsed / steps, float(metrics["loss"])
+
+
+def section_train():
+    recipes = [
+        # (name, arch, layers, classes, crop, model_kw)
+        ("pspnet50_ade20k_473", "psp", 50, 150, 473, {}),
+        ("psanet50_ade20k_465", "psa", 50, 150, 465,
+         dict(psa_type=2, compact=False, shrink_factor=2, mask_h=59,
+              mask_w=59, normalization_factor=1.0, psa_softmax=True)),
+        ("pspnet50_cityscapes_713", "psp", 50, 19, 713, {}),
+        ("psanet50_cityscapes_705", "psa", 50, 19, 705,
+         dict(psa_type=2, compact=False, shrink_factor=2, mask_h=89,
+              mask_w=89, normalization_factor=1.0, psa_softmax=True)),
+    ]
+    batch = int(os.environ.get("PERF_BATCH", "16"))
+    for dtype_name in ("bfloat16", "float32"):
+        for name, arch, layers, classes, crop, kw in recipes:
+            try:
+                sec, loss = _train_step_rate(
+                    arch, layers, classes, crop, batch, dtype_name, **kw
+                )
+                _emit(
+                    f"train_step_{name}",
+                    dtype=dtype_name, batch=batch,
+                    step_ms=round(sec * 1000, 1),
+                    images_per_sec_chip=round(batch / sec, 2),
+                    loss=round(loss, 3),
+                )
+            except Exception as exc:  # OOM etc: report, keep going
+                _emit(f"train_step_{name}", dtype=dtype_name, batch=batch,
+                      error=str(exc)[:200])
+
+
+def section_loader(tmp_root="/tmp/perf_ade"):
+    """End-to-end train throughput with the REAL augmentation loader
+    (synthetic ADE-sized images on disk), including host->device transfer
+    and the device-prefetch overlap from tool/train.py."""
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from semseg_tpu.data import DataLoader, SemData, transform
+    from semseg_tpu.engine.trainer import create_train_state, make_train_step
+    from semseg_tpu.models import PSPNet
+    from semseg_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    crop, classes, batch = 473, 150, int(os.environ.get("PERF_BATCH", "16"))
+    n_images = batch * 8
+    os.makedirs(tmp_root, exist_ok=True)
+    list_path = os.path.join(tmp_root, "train.txt")
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(n_images):
+        ip = os.path.join(tmp_root, f"img{i}.jpg")
+        lp = os.path.join(tmp_root, f"lab{i}.png")
+        if not os.path.exists(lp):
+            # ADE-typical size (~512x683)
+            img = (rs.rand(512, 683, 3) * 255).astype(np.uint8)
+            lab = rs.randint(0, classes, size=(512, 683)).astype(np.uint8)
+            cv2.imwrite(ip, img)
+            cv2.imwrite(lp, lab)
+        lines.append(f"img{i}.jpg lab{i}.png\n")
+    with open(list_path, "w") as f:
+        f.write("".join(lines))
+
+    value_scale = 255
+    mean = [m * value_scale for m in (0.485, 0.456, 0.406)]
+    std = [s * value_scale for s in (0.229, 0.224, 0.225)]
+    train_transform = transform.Compose([
+        transform.RandScale([0.5, 2.0]),
+        transform.RandRotate([-10, 10], padding=mean, ignore_label=255),
+        transform.RandomGaussianBlur(),
+        transform.RandomHorizontalFlip(),
+        transform.Crop([crop, crop], crop_type="rand", padding=mean,
+                       ignore_label=255),
+        transform.ToTensor(),
+        transform.Normalize(mean=mean, std=std),
+    ])
+    data = SemData(split="train", data_root=tmp_root, data_list=list_path,
+                   transform=train_transform)
+    workers = int(os.environ.get("PERF_WORKERS", "8"))
+    loader = DataLoader(data, batch_size=batch, shuffle=True,
+                        num_workers=workers, drop_last=True, seed=1)
+
+    dtype_name = os.environ.get("PERF_LOADER_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = PSPNet(layers=50, classes=classes, zoom_factor=8, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, rng, jnp.zeros((batch, crop, crop, 3), jnp.float32)
+    )
+    step = make_train_step(
+        model, classes=classes, ignore_label=255, aux_weight=0.4,
+        base_lr=0.01, max_iter=100000, power=0.9, momentum=0.9,
+        weight_decay=1e-4, zoom_factor=8, num_replicas=1,
+    )
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh)
+
+    def to_global(images, labels):
+        return jax.device_put(images, sharding), jax.device_put(labels, sharding)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from train import _device_prefetch  # the production prefetch iterator
+
+    # Warm-up epoch step (compile)
+    loader.set_epoch(0)
+    it = _device_prefetch(loader, to_global)
+    gi, gl = next(it)
+    state, _ = step(state, gi, gl)
+    import jax as _j
+
+    _j.block_until_ready(state.params)
+    n_steps = 0
+    start = time.perf_counter()
+    for gi, gl in it:
+        state, _ = step(state, gi, gl)
+        n_steps += 1
+    for epoch in range(1, 3):
+        loader.set_epoch(epoch)
+        for gi, gl in _device_prefetch(loader, to_global):
+            state, _ = step(state, gi, gl)
+            n_steps += 1
+    _j.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+    _emit(
+        "train_e2e_real_loader_pspnet50_ade473",
+        dtype=dtype_name, batch=batch, workers=workers, steps=n_steps,
+        images_per_sec_chip=round(n_steps * batch / elapsed, 2),
+        note="includes cv2 decode+augment on this host's core count",
+    )
+
+
+def section_eval():
+    import jax
+    import jax.numpy as jnp
+
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+    from semseg_tpu.models import PSPNet
+
+    # ADE20K-style variable shapes through the bucketed pipeline.
+    model = PSPNet(layers=50, classes=150, zoom_factor=8, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x, train=False)
+    )(rng, jnp.zeros((1, 473, 473, 3), jnp.float32))
+    value_scale = 255
+    mean = [m * value_scale for m in (0.485, 0.456, 0.406)]
+    std = [s * value_scale for s in (0.229, 0.224, 0.225)]
+    evaluator = SlidingWindowEvaluator(
+        model, variables, classes=150, crop_h=473, crop_w=473,
+        mean=mean, std=std, base_size=512, scales=[1.0],
+        window_batch=8, mode="device_bucketed",
+    )
+    rs = np.random.RandomState(0)
+    shapes = [(512, 683), (512, 768), (480, 640), (512, 512), (384, 512),
+              (512, 683), (512, 768), (480, 640)]
+    images = [(rs.rand(h, w, 3) * 255).astype(np.uint8) for h, w in shapes]
+    for img in images:  # warm-up / compile all buckets
+        evaluator.predict(img)
+    start = time.perf_counter()
+    reps = 4
+    pending = []
+    for _ in range(reps):
+        for img in images:
+            pending.append(evaluator.predict_async(img))
+    results = [np.asarray(p) for p in pending]
+    elapsed = time.perf_counter() - start
+    assert len(results) == reps * len(images)
+    _emit(
+        "eval_ss_ade20k_shapes_pspnet50_bucketed",
+        images_per_sec_chip=round(len(results) / elapsed, 2),
+        programs=len(evaluator._bucketed._programs),
+        shapes=len(set(shapes)),
+    )
+
+
+SECTIONS = {"train": section_train, "loader": section_loader,
+            "eval": section_eval}
+
+
+def main():
+    which = sys.argv[1:] or list(SECTIONS)
+    for name in which:
+        SECTIONS[name]()
+
+
+if __name__ == "__main__":
+    main()
