@@ -60,6 +60,16 @@ class Config(dict):
 # Backwards-friendly alias mirroring the reference class name.
 CfgNode = Config
 
+# Framework extension keys accepted as CLI overrides even when absent from
+# the experiment YAML (the reference rejects unknown keys,
+# util/config.py:117; these are this framework's additional knobs,
+# documented in README.md "Configuration extensions").
+EXTENSION_KEYS = frozenset({
+    "pretrained", "initmodel", "compute_dtype", "model_parallel",
+    "native_loader", "eval_pipeline", "window_batch", "profile_dir",
+    "remat", "image", "allow_random_weights",
+})
+
 
 def load_cfg(path: str) -> Config:
     """Load a YAML experiment file, flattening top-level sections.
@@ -104,10 +114,10 @@ def merge_cfg_from_list(cfg: Config, override_list) -> Config:
         )
     for full_key, raw_value in zip(override_list[0::2], override_list[1::2]):
         subkey = full_key.split(".")[-1]
-        if subkey not in cfg:
+        if subkey not in cfg and subkey not in EXTENSION_KEYS:
             raise KeyError(f"Non-existent config key: {full_key}")
         value = _decode_value(raw_value)
-        value = _coerce_value_type(value, cfg[subkey], full_key)
+        value = _coerce_value_type(value, cfg.get(subkey), full_key)
         setattr(new_cfg, subkey, value)
     return new_cfg
 

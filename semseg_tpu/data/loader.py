@@ -100,6 +100,7 @@ class DataLoader:
         self.sampler = EpochSampler(
             len(dataset), shuffle, seed, shard_index, num_shards
         )
+        self._start_batch = 0
 
     def _fetch(self, index: int):
         if not self.deterministic_augment:
@@ -109,8 +110,14 @@ class DataLoader:
         with per_sample_rng(self.seed, self.sampler.epoch, int(index)):
             return self.dataset[index]
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Position the loader at ``epoch`` (DistributedSampler.set_epoch
+        analog), optionally skipping the first ``start_batch`` batches —
+        the fast-forward used for exact mid-epoch resume after preemption
+        (indices are skipped without decoding; determinism is preserved
+        because augmentation RNG is keyed per (seed, epoch, sample))."""
         self.sampler.set_epoch(epoch)
+        self._start_batch = start_batch
 
     def __len__(self) -> int:
         n = len(self.sampler.indices())
@@ -123,7 +130,9 @@ class DataLoader:
             if self.drop_last
             else len(idx)
         )
-        for start in range(0, limit, self.batch_size):
+        for start in range(
+            self._start_batch * self.batch_size, limit, self.batch_size
+        ):
             yield idx[start : start + self.batch_size]
 
     def __iter__(self):

@@ -54,12 +54,49 @@ def save_checkpoint(save_path: str, epoch: int, state, save_freq: int = 1,
     old_path = checkpoint_path(save_path, old)
     if old > 0 and os.path.exists(old_path):
         shutil.rmtree(old_path)
+    # An end-of-epoch save supersedes any mid-epoch preemption snapshot.
+    preempt = preempt_checkpoint_path(save_path)
+    if os.path.exists(preempt):
+        shutil.rmtree(preempt)
+    return path
+
+
+def preempt_checkpoint_path(save_path: str) -> str:
+    return os.path.join(os.path.abspath(save_path), "train_preempt.ckpt")
+
+
+def save_preempt_checkpoint(save_path: str, epoch: int, state) -> str:
+    """Mid-epoch snapshot on preemption (SIGTERM).
+
+    ``epoch`` is the 0-based in-progress epoch (== count of completed
+    epochs), matching the resume convention: the global ``step`` encodes
+    how many batches of that epoch were consumed, so resume fast-forwards
+    the loader to ``step - epoch * steps_per_epoch``. Fault-tolerance
+    upgrade over the reference, whose only recovery is re-launching from
+    the last *epoch* checkpoint (``tool/train.py:173-186``).
+    """
+    path = preempt_checkpoint_path(save_path)
+    payload = {
+        "epoch": epoch,
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "momentum": jax.device_get(state.opt.momentum),
+    }
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(path, payload)
     return path
 
 
 def latest_checkpoint(save_path: str) -> Optional[str]:
     if not os.path.isdir(save_path):
         return None
+    # A preemption snapshot is by construction newer than any epoch save
+    # (end-of-epoch saves delete it).
+    preempt = preempt_checkpoint_path(save_path)
+    if os.path.exists(preempt):
+        return preempt
     best = None
     for name in os.listdir(save_path):
         m = re.fullmatch(r"train_epoch_(\d+)\.ckpt", name)

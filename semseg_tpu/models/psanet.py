@@ -84,7 +84,6 @@ class PSA(nn.Module):
                 a = y_flat
         else:
             a = psa_attention_matrix(y, psa_type, self.mask_h, self.mask_w)
-        a = a.astype(jnp.float32)
 
         use_fused = (
             self.fused_attention
@@ -94,12 +93,17 @@ class PSA(nn.Module):
         x_flat = xr.reshape(n, hw, -1)
         if use_fused and self.psa_softmax:
             # Fused Pallas kernel: softmax(dim=i) + aggregation in VMEM.
+            # A stays in the compute dtype: its values come from the
+            # attention conv through pure data movement, so a bf16
+            # container loses nothing and halves A's HBM traffic (the
+            # dominant cost of this op); in-kernel math is f32.
             agg = psa_softmax_bmm(
-                jnp.transpose(x_flat, (0, 2, 1)).astype(jnp.float32), a,
+                jnp.transpose(x_flat, (0, 2, 1)), a,
                 self.normalization_factor,
             )
             agg = jnp.transpose(agg, (0, 2, 1))
         else:
+            a = a.astype(jnp.float32)
             if self.psa_softmax:
                 a = nn.softmax(a, axis=1)
             # out[n, j, c] = sum_i xr[n, i, c] * a[n, i, j] (torch.bmm analog)

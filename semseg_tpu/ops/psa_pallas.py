@@ -27,14 +27,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-SUBLANE = 8
+# 16 covers both f32 (min sublane tile 8) and bf16 (16) operands.
+SUBLANE = 16
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fwd_kernel(x_ref, a_ref, norm_ref, out_ref, *, hw: int):
+def _fwd_kernel(x_ref, a_ref, norm_ref, out_ref, *, hw: int, precision):
     """One (batch, query-tile) step.
 
     x_ref:   [C, HWp]   features (source-position major)
@@ -55,9 +56,19 @@ def _fwd_kernel(x_ref, a_ref, norm_ref, out_ref, *, hw: int):
         jnp.dot(
             x_ref[0].astype(jnp.float32), p,
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         * norm_ref[0, 0]
     )
+
+
+def _precision_for(x, a):
+    """f32 operands keep full-precision MXU passes (the reference-numerics
+    training default); bf16 operands take the fast path (they carry no
+    extra mantissa to preserve)."""
+    if x.dtype == jnp.float32 and a.dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return None
 
 
 def _fwd(x: jnp.ndarray, a: jnp.ndarray, norm: float, tile_j: int,
@@ -72,7 +83,7 @@ def _fwd(x: jnp.ndarray, a: jnp.ndarray, norm: float, tile_j: int,
     norm_arr = jnp.full((1, 1), 1.0 / norm, jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, hw=hw),
+        functools.partial(_fwd_kernel, hw=hw, precision=_precision_for(x, a)),
         grid=(n, jp // tile_j),
         in_specs=[
             pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
@@ -89,7 +100,8 @@ def _fwd(x: jnp.ndarray, a: jnp.ndarray, norm: float, tile_j: int,
     return out[:, :c, :hw]
 
 
-def _bwd_kernel(x_ref, a_ref, g_ref, norm_ref, dx_ref, da_ref, *, hw: int):
+def _bwd_kernel(x_ref, a_ref, g_ref, norm_ref, dx_ref, da_ref, *, hw: int,
+                precision):
     """Backward for one (batch, query-tile) step.
 
     Recomputes p = softmax(a) then:
@@ -112,10 +124,12 @@ def _bwd_kernel(x_ref, a_ref, g_ref, norm_ref, dx_ref, da_ref, *, hw: int):
     g = g_ref[0].astype(jnp.float32) * inv_norm
     x = x_ref[0].astype(jnp.float32)
 
-    dp = jnp.dot(x.T, g, preferred_element_type=jnp.float32)
+    dp = jnp.dot(x.T, g, preferred_element_type=jnp.float32,
+                 precision=precision)
     da_ref[0] = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
 
-    dx_tile = jnp.dot(g, p.T, preferred_element_type=jnp.float32)
+    dx_tile = jnp.dot(g, p.T, preferred_element_type=jnp.float32,
+                      precision=precision)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -138,7 +152,7 @@ def _bwd(tile_j: int, norm: float, interpret: bool, residuals, grad):
     norm_arr = jnp.full((1, 1), 1.0 / norm, jnp.float32)
 
     dx, da = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw),
+        functools.partial(_bwd_kernel, hw=hw, precision=_precision_for(x, a)),
         grid=(n, jp // tile_j),
         in_specs=[
             pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
@@ -161,7 +175,12 @@ def _bwd(tile_j: int, norm: float, interpret: bool, residuals, grad):
         ),
         interpret=interpret,
     )(xp, ap, gp, norm_arr)
-    return dx[:, :c, :hw], da[:, :hw, :hw]
+    # custom_vjp cotangents must match the primal dtypes (bf16 operands
+    # keep bf16 gradients, like the rest of the bf16 compute path).
+    return (
+        dx[:, :c, :hw].astype(x.dtype),
+        da[:, :hw, :hw].astype(a.dtype),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -170,8 +189,10 @@ def psa_softmax_bmm(x, a, norm: float = 1.0, tile_j: int = LANE,
     """``(1/norm) * x @ softmax(a, axis=1)`` fused on TPU.
 
     x: [N, C, HW] features; a: [N, HW, HW] attention logits (softmax over
-    axis 1). Returns [N, C, HW] float32. ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU testing).
+    axis 1). f32 or bf16 operands (bf16 halves the HBM traffic of A, the
+    dominant cost; all in-VMEM math is f32 either way). Returns
+    [N, C, HW] float32. ``interpret=True`` runs the kernel in the Pallas
+    interpreter (CPU testing).
     """
     return _fwd(x, a, norm, tile_j, interpret)
 

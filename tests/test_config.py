@@ -147,3 +147,20 @@ def test_override_edge_cases(yaml_file):
     # dotted key: only last component matters, even nonsense prefixes
     merged = cfgmod.merge_cfg_from_list(cfg, ["X.Y.Z.arch", "psa"])
     assert merged.arch == "psa"
+
+
+def test_extension_keys_accepted_unknown_rejected(yaml_file):
+    """Framework extension keys (README "Configuration extensions") are
+    valid CLI overrides even though the reference YAML schema lacks them;
+    arbitrary unknown keys still error (reference util/config.py:117)."""
+    cfg = cfgmod.load_cfg(yaml_file)
+    merged = cfgmod.merge_cfg_from_list(
+        cfg, ["native_loader", "True", "model_parallel", "2",
+              "compute_dtype", "bfloat16", "pretrained", "False"]
+    )
+    assert merged.native_loader is True
+    assert merged.model_parallel == 2
+    assert merged.compute_dtype == "bfloat16"
+    assert merged.pretrained is False
+    with pytest.raises(KeyError):
+        cfgmod.merge_cfg_from_list(cfg, ["definitely_not_a_key", "1"])

@@ -147,6 +147,49 @@ def test_train_driver_model_parallel(synth_dataset, tmp_path):
     assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_preemption_checkpoint_and_exact_resume(synth_dataset, tmp_path):
+    """Mid-epoch preemption (SIGTERM path, tripped via the deterministic
+    test hook) checkpoints, and `resume: auto` + loader fast-forward
+    reproduce the uninterrupted run bit-for-bit (deterministic per-sample
+    augmentation RNG + per-step dropout folding)."""
+    train_tool = _load_tool("train")
+    # 16-entry list (8 images listed twice), batch 8 -> 2 steps/epoch.
+    big_list = tmp_path / "train16.txt"
+    lines = [f"img{i}.png lab{i}.png\n" for i in range(8)]
+    big_list.write_text("".join(lines * 2))
+    base = dict(train_list=str(big_list), epochs=2, evaluate=False)
+
+    cfg_full = _train_cfg(
+        synth_dataset, tmp_path, save_path=str(tmp_path / "full"), **base
+    )
+    state_full = train_tool.run(cfg_full)
+    assert int(state_full.step) == 4
+
+    cfg_pre = _train_cfg(
+        synth_dataset, tmp_path, save_path=str(tmp_path / "pre"),
+        _preempt_after_step=3, **base
+    )
+    state_pre = train_tool.run(cfg_pre)
+    assert int(state_pre.step) == 3
+    assert os.path.isdir(os.path.join(cfg_pre.save_path, "train_preempt.ckpt"))
+
+    cfg_res = _train_cfg(
+        synth_dataset, tmp_path, save_path=str(tmp_path / "pre"),
+        resume="auto", **base
+    )
+    state_res = train_tool.run(cfg_res)
+    assert int(state_res.step) == 4
+
+    for a, b in zip(
+        jax.tree.leaves(state_full.params), jax.tree.leaves(state_res.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the epoch save at the end of the resumed run clears the snapshot
+    assert not os.path.exists(
+        os.path.join(cfg_pre.save_path, "train_preempt.ckpt")
+    )
+
+
 def test_train_driver_pretrained_init(synth_dataset, tmp_path):
     """ImageNet-pretrained backbone initialization through the driver:
     `initmodel:` points at a torch deep-base checkpoint; with lr=0 the

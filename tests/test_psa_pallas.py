@@ -33,6 +33,47 @@ def test_fused_forward_matches_reference(rng, n, c, hw, tile_j):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_bf16_operands(rng):
+    """bf16 x/a (the perf-path container dtype): forward matches the f32
+    reference on the bf16-quantized values; VJP returns bf16 cotangents."""
+    n, c, hw, tile_j = 1, 8, 40, 16
+    x32 = rng.randn(n, c, hw).astype(np.float32)
+    a32 = (rng.randn(n, hw, hw) * 3).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16)
+    a = jnp.asarray(a32).astype(jnp.bfloat16)
+    got = psa_softmax_bmm(x, a, 1.5, tile_j, True)
+    want = psa_softmax_bmm_reference(
+        x.astype(jnp.float32), a.astype(jnp.float32), 1.5
+    )
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def fused(xx, aa):
+        return psa_softmax_bmm(xx, aa, 1.5, tile_j, True)
+
+    g = jnp.asarray(rng.randn(n, c, hw).astype(np.float32))
+    _, vjp_f = jax.vjp(fused, x, a)
+    dx, da = vjp_f(g)
+    assert dx.dtype == jnp.bfloat16 and da.dtype == jnp.bfloat16
+
+    def ref(xx, aa):
+        return psa_softmax_bmm_reference(
+            xx.astype(jnp.float32), aa.astype(jnp.float32), 1.5
+        )
+
+    _, vjp_r = jax.vjp(ref, x, a)
+    dx_r, da_r = vjp_r(g)
+    np.testing.assert_allclose(
+        np.asarray(dx, dtype=np.float32), np.asarray(dx_r, dtype=np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(da, dtype=np.float32), np.asarray(da_r, dtype=np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
 def test_fused_vjp_matches_reference(rng):
     n, c, hw, tile_j = 1, 8, 40, 16
     x = jnp.asarray(rng.randn(n, c, hw).astype(np.float32))

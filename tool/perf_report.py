@@ -40,7 +40,7 @@ def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     if arch == "psp":
         model = PSPNet(layers=layers, classes=classes, zoom_factor=8,
-                       dtype=dtype)
+                       dtype=dtype, **model_kw)
     else:
         model = PSANet(layers=layers, classes=classes, zoom_factor=8,
                        dtype=dtype, **model_kw)
@@ -58,12 +58,18 @@ def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
     labels = jnp.asarray(
         rs.randint(0, classes, size=(batch, crop, crop)).astype(np.int32)
     )
+    def _force(s):
+        # A tiny data READBACK of a value that depends on the whole step
+        # chain: on the relay platform block_until_ready can return before
+        # remote execution finishes, so materialize real bytes.
+        return float(np.asarray(jax.tree.leaves(s.params)[0]).ravel()[0])
+
     state, metrics = step(state, images, labels)  # compile
-    jax.block_until_ready(state.params)
+    _force(state)
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, images, labels)
-    jax.block_until_ready(state.params)
+    _force(state)
     elapsed = time.perf_counter() - start
     return elapsed / steps, float(metrics["loss"])
 
@@ -80,23 +86,45 @@ def section_train():
          dict(psa_type=2, compact=False, shrink_factor=2, mask_h=89,
               mask_w=89, normalization_factor=1.0, psa_softmax=True)),
     ]
-    batch = int(os.environ.get("PERF_BATCH", "16"))
-    for dtype_name in ("bfloat16", "float32"):
+    batch0 = int(os.environ.get("PERF_BATCH", "16"))
+    only = os.environ.get("PERF_RECIPES")  # comma-separated substring filter
+    if only:
+        keys = [k.strip() for k in only.split(",")]
+        recipes = [r for r in recipes if any(k in r[0] for k in keys)]
+    dtypes = os.environ.get("PERF_DTYPES", "bfloat16,float32").split(",")
+    for dtype_name in dtypes:
         for name, arch, layers, classes, crop, kw in recipes:
-            try:
-                sec, loss = _train_step_rate(
-                    arch, layers, classes, crop, batch, dtype_name, **kw
-                )
-                _emit(
-                    f"train_step_{name}",
-                    dtype=dtype_name, batch=batch,
-                    step_ms=round(sec * 1000, 1),
-                    images_per_sec_chip=round(batch / sec, 2),
-                    loss=round(loss, 3),
-                )
-            except Exception as exc:  # OOM etc: report, keep going
-                _emit(f"train_step_{name}", dtype=dtype_name, batch=batch,
-                      error=str(exc)[:200])
+            # Fallback ladder when a config exceeds one chip's HBM:
+            # rematerialize the backbone first (FLOPs for memory, the
+            # standard TPU answer), then halve the batch.
+            attempts = [dict(batch=batch0, remat=False)]
+            attempts += [
+                dict(batch=b, remat=True)
+                for b in (batch0, batch0 // 2, batch0 // 4, batch0 // 8)
+                if b >= 2
+            ]
+            err = None
+            for att in attempts:
+                try:
+                    sec, loss = _train_step_rate(
+                        arch, layers, classes, crop, att["batch"],
+                        dtype_name, remat=att["remat"], **kw
+                    )
+                    _emit(
+                        f"train_step_{name}",
+                        dtype=dtype_name, batch=att["batch"],
+                        remat=att["remat"],
+                        step_ms=round(sec * 1000, 1),
+                        images_per_sec_chip=round(att["batch"] / sec, 2),
+                        loss=round(loss, 3),
+                    )
+                    err = None
+                    break
+                except Exception as exc:
+                    err = str(exc)[:200]
+            if err is not None:
+                _emit(f"train_step_{name}", dtype=dtype_name, batch=batch0,
+                      error=err)
 
 
 def section_loader(tmp_root="/tmp/perf_ade"):
@@ -145,8 +173,17 @@ def section_loader(tmp_root="/tmp/perf_ade"):
         transform.ToTensor(),
         transform.Normalize(mean=mean, std=std),
     ])
-    data = SemData(split="train", data_root=tmp_root, data_list=list_path,
-                   transform=train_transform)
+    use_native = os.environ.get("PERF_NATIVE", "0") == "1"
+    if use_native:
+        from semseg_tpu.data import native
+
+        data = native.NativeSemData(
+            "train", tmp_root, list_path, crop_h=crop, crop_w=crop,
+            mean=mean, std=std, ignore_label=255,
+        )
+    else:
+        data = SemData(split="train", data_root=tmp_root,
+                       data_list=list_path, transform=train_transform)
     workers = int(os.environ.get("PERF_WORKERS", "8"))
     loader = DataLoader(data, batch_size=batch, shuffle=True,
                         num_workers=workers, drop_last=True, seed=1)
@@ -167,19 +204,24 @@ def section_loader(tmp_root="/tmp/perf_ade"):
     sharding = batch_sharding(mesh)
 
     def to_global(images, labels):
+        # uint8 label wire format (exact; cast to int32 on device) — same
+        # as tool/train.py::to_global
+        if labels.dtype != np.uint8:
+            labels = labels.astype(np.uint8)
         return jax.device_put(images, sharding), jax.device_put(labels, sharding)
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
     from train import _device_prefetch  # the production prefetch iterator
 
     # Warm-up epoch step (compile)
+    def _force(s):
+        return float(np.asarray(jax.tree.leaves(s.params)[0]).ravel()[0])
+
     loader.set_epoch(0)
     it = _device_prefetch(loader, to_global)
     gi, gl = next(it)
     state, _ = step(state, gi, gl)
-    import jax as _j
-
-    _j.block_until_ready(state.params)
+    _force(state)
     n_steps = 0
     start = time.perf_counter()
     for gi, gl in it:
@@ -190,13 +232,15 @@ def section_loader(tmp_root="/tmp/perf_ade"):
         for gi, gl in _device_prefetch(loader, to_global):
             state, _ = step(state, gi, gl)
             n_steps += 1
-    _j.block_until_ready(state.params)
+    _force(state)
     elapsed = time.perf_counter() - start
     _emit(
         "train_e2e_real_loader_pspnet50_ade473",
         dtype=dtype_name, batch=batch, workers=workers, steps=n_steps,
+        native=use_native,
         images_per_sec_chip=round(n_steps * batch / elapsed, 2),
-        note="includes cv2 decode+augment on this host's core count",
+        note="includes cv2 decode+augment on this host's core count and "
+             "the ~45 MB/s relay upload",
     )
 
 

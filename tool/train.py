@@ -137,10 +137,32 @@ def run(cfg):
         transform.ToTensor(),
         transform.Normalize(mean=mean, std=std),
     ])
-    train_data = SemData(
-        split="train", data_root=cfg.data_root, data_list=cfg.train_list,
-        transform=train_transform,
-    )
+    train_data = None
+    if cfg.get("native_loader"):
+        # C++/OpenCV fused decode+augment pipeline (csrc/hostpipe.cpp):
+        # same per-sample RNG stream, all pixel work in one GIL-free call.
+        from semseg_tpu.data import native as native_pipe
+
+        if native_pipe.available():
+            train_data = native_pipe.NativeSemData(
+                "train", cfg.data_root, cfg.train_list,
+                crop_h=cfg.train_h, crop_w=cfg.train_w, mean=mean, std=std,
+                ignore_label=cfg.ignore_label, crop_type="rand",
+                scale=(cfg.scale_min, cfg.scale_max),
+                rotate=(cfg.rotate_min, cfg.rotate_max),
+            )
+            logger.info("native (C++) host data pipeline enabled")
+        else:
+            logger.warning(
+                "native_loader requested but the extension is not built "
+                "(python csrc/setup.py build_ext --inplace); "
+                "falling back to the Python pipeline"
+            )
+    if train_data is None:
+        train_data = SemData(
+            split="train", data_root=cfg.data_root, data_list=cfg.train_list,
+            transform=train_transform,
+        )
     host_batch = cfg.batch_size // jax.process_count()
     train_loader = DataLoader(
         train_data, batch_size=host_batch, shuffle=True,
@@ -235,6 +257,44 @@ def run(cfg):
 
     steps_per_epoch = len(train_loader)
     max_iter = cfg.epochs * steps_per_epoch
+
+    # Mid-epoch resume (preemption snapshot): the global step encodes how
+    # many batches of the in-progress epoch were consumed; fast-forward
+    # the loader past them (exact: augmentation RNG is per-sample).
+    start_batch = 0
+    consumed = int(state.step) - start_epoch * steps_per_epoch
+    if consumed >= steps_per_epoch:
+        # Preempted exactly at an epoch boundary: those epochs completed.
+        start_epoch += consumed // steps_per_epoch
+        consumed %= steps_per_epoch
+    if 0 < consumed < steps_per_epoch:
+        start_batch = consumed
+        logger.info(
+            "=> mid-epoch resume: skipping %d consumed batches of epoch %d",
+            consumed, start_epoch + 1,
+        )
+
+    # Preemption handling: SIGTERM (and SIGUSR1) request a checkpoint at
+    # the next step boundary followed by a clean exit. `resume: auto`
+    # picks the snapshot up and continues exactly where training stopped.
+    import signal
+
+    preempt = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempt["flag"] = True
+        logger.info(
+            "received signal %d: checkpointing at the next step boundary",
+            signum,
+        )
+
+    for _sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(_sig, _on_signal)
+        except ValueError:  # non-main thread (e.g. under a test runner)
+            pass
+    # Test hook: trip the same path deterministically after N steps.
+    preempt_after = cfg.get("_preempt_after_step")
     train_step = make_train_step(
         model,
         classes=cfg.classes,
@@ -267,7 +327,14 @@ def run(cfg):
 
     sharding = batch_sharding(mesh)
 
+    # Labels travel as uint8 when class ids fit (every shipped dataset:
+    # classes <= 150, ignore 255) — 8x less host->device traffic than the
+    # loader's int64, bit-exact (the train step casts to int32 on device).
+    labels_u8 = cfg.classes <= 255 and cfg.ignore_label <= 255
+
     def to_global(images, labels):
+        if labels_u8 and labels.dtype != np.uint8:
+            labels = labels.astype(np.uint8)
         if jax.process_count() == 1:
             return (
                 jax.device_put(images, sharding),
@@ -287,12 +354,23 @@ def run(cfg):
 
     for epoch in range(start_epoch, cfg.epochs):
         epoch_log = epoch + 1
-        train_loader.set_epoch(epoch)
+        train_loader.set_epoch(
+            epoch, start_batch if epoch == start_epoch else 0
+        )
         stats = _train_epoch(
             cfg, logger, is_main, writer, train_loader, train_step, state,
             to_global, epoch, steps_per_epoch, max_iter,
+            start_batch=start_batch if epoch == start_epoch else 0,
+            preempt=preempt, preempt_after=preempt_after,
         )
         state = stats.pop("state")
+        if stats.pop("preempted", False):
+            if is_main:
+                path = ckpt.save_preempt_checkpoint(
+                    cfg.save_path, epoch, state
+                )
+                logger.info("Preemption checkpoint saved to: %s", path)
+            return state
         if is_main and writer is not None:
             for key in ("loss", "mIoU", "mAcc", "allAcc"):
                 writer.add_scalar(f"{key}_train", stats[key], epoch_log)
@@ -318,7 +396,8 @@ def run(cfg):
 
 
 def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
-                 to_global, epoch, steps_per_epoch, max_iter):
+                 to_global, epoch, steps_per_epoch, max_iter,
+                 start_batch=0, preempt=None, preempt_after=None):
     import jax
 
     from semseg_tpu.utils import AverageMeter
@@ -365,17 +444,19 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
         pending.clear()
         return last
 
+    preempted = False
     end = time.time()
     for i, (gi, gl) in enumerate(_device_prefetch(loader, to_global)):
         data_time.update(time.time() - end)
         state, metrics = train_step(state, gi, gl)
         steps += 1
-        current_iter = epoch * steps_per_epoch + i + 1
+        batch_idx = start_batch + i + 1  # absolute within the epoch
+        current_iter = epoch * steps_per_epoch + batch_idx
         pending.append((current_iter, metrics))
         batch_time.update(time.time() - end)
         end = time.time()
 
-        if (i + 1) % cfg.print_freq == 0:
+        if batch_idx % cfg.print_freq == 0:
             m = flush()  # sync point (every print_freq)
             if is_main and m is not None:
                 remain = (max_iter - current_iter) * batch_time.avg
@@ -386,17 +467,22 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
                     "Epoch: [%d/%d][%d/%d] Data %.3f (%.3f) Batch %.3f (%.3f) "
                     "Remain %02d:%02d:%02d MainLoss %.4f AuxLoss %.4f Loss %.4f "
                     "Accuracy %.4f lr %.6f",
-                    epoch + 1, cfg.epochs, i + 1, steps_per_epoch,
+                    epoch + 1, cfg.epochs, batch_idx, steps_per_epoch,
                     data_time.val, data_time.avg, batch_time.val, batch_time.avg,
                     t_h, t_m, t_s, float(m["main_loss"]),
                     float(m["aux_loss"]), float(m["loss"]), accuracy,
                     float(m["lr"]),
                 )
+        if (preempt is not None and preempt["flag"]) or (
+            preempt_after is not None and current_iter >= int(preempt_after)
+        ):
+            preempted = True
+            break
     flush()
 
     if totals is None:
         return {"state": state, "loss": 0.0, "mIoU": 0.0, "mAcc": 0.0,
-                "allAcc": 0.0}
+                "allAcc": 0.0, "preempted": preempted}
     m_iou, m_acc, all_acc = summarize(
         totals["intersection"], totals["union"], totals["target"]
     )
@@ -411,6 +497,7 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
         "mIoU": m_iou,
         "mAcc": m_acc,
         "allAcc": all_acc,
+        "preempted": preempted,
     }
 
 
