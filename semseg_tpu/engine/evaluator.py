@@ -147,7 +147,7 @@ class SlidingWindowEvaluator:
     # ------------------------------------------------------------------
     # device mode: one jitted program per (image shape, scale)
     # ------------------------------------------------------------------
-    def _build_scale_fn(self, h, w, scale):
+    def _build_scale_fn(self, h, w, scale, emit_argmax=False):
         crop_h, crop_w = self.crop_h, self.crop_w
         new_h, new_w = _scaled_size(h, w, scale, self.base_size)
         pad_h = max(crop_h - new_h, 0)
@@ -230,7 +230,13 @@ class SlidingWindowEvaluator:
                 acc, (pad_h_half, pad_w_half, 0),
                 (new_h, new_w, self.classes),
             )
-            return resize_bilinear_half_pixel(acc, (h, w))
+            probs = resize_bilinear_half_pixel(acc, (h, w))
+            if emit_argmax:
+                # Single-scale fast path: the uint8 class map comes out of
+                # the same program — one dispatch + one 1-byte/px readback
+                # per image (each extra dispatch costs a relay RTT).
+                return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return probs
 
         return jax.jit(scale_fn)
 
@@ -350,6 +356,14 @@ class SlidingWindowEvaluator:
         images instead of serializing on every host sync.
         """
         if self.mode == "device":
+            if len(self.scales) == 1:
+                h, w, _ = image.shape
+                key = (h, w, self.scales[0], "argmax")
+                if key not in self._scale_fns:
+                    self._scale_fns[key] = self._build_scale_fn(
+                        h, w, self.scales[0], emit_argmax=True
+                    )
+                return self._scale_fns[key](self.variables, jnp.asarray(image))
             probs = self._predict_probs_device(image)
             return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
         if self.mode == "device_bucketed":
