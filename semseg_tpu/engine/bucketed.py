@@ -90,10 +90,18 @@ def _matrix_from_payload(lo, hi, w_lo, valid, in_cap: int):
 
 class BucketedPipeline:
     """Per-scale bucketed program factory + runner. Used by
-    SlidingWindowEvaluator in ``device_bucketed`` mode."""
+    SlidingWindowEvaluator in ``device_bucketed`` mode.
 
-    def __init__(self, evaluator):
+    ``bucket`` trades compiled-program count against padded-canvas waste:
+    smaller buckets fit shapes tighter (less wasted forward work on pad
+    rows) but compile more programs on a shape-diverse dataset. 128 is
+    the measured sweet spot for ADE20K-like shape mixes (see PARITY.md
+    bucket sweep); it is also one TPU lane tile, so canvas dims stay
+    layout-aligned."""
+
+    def __init__(self, evaluator, bucket: int = BUCKET):
         self.ev = evaluator
+        self.bucket = int(bucket)
         self._programs = {}
 
     def _build(self, key):
@@ -181,8 +189,8 @@ class BucketedPipeline:
         pad_w = max(crop_w - nw, 0)
         pad_h_half, pad_w_half = pad_h // 2, pad_w // 2
         canvas_h, canvas_w = nh + pad_h, nw + pad_w
-        chb = _round_up(canvas_h, BUCKET)
-        cwb = _round_up(canvas_w, BUCKET)
+        chb = _round_up(canvas_h, self.bucket)
+        cwb = _round_up(canvas_w, self.bucket)
 
         coords = _grid_coords(canvas_h, canvas_w, crop_h, crop_w,
                               ev.stride_rate)
@@ -230,7 +238,7 @@ class BucketedPipeline:
         """Multi-scale device probs for one image; returns (probs_dev,
         (h, w)) where probs_dev is [OHB, OWB, classes] on device."""
         h, w, _ = image.shape
-        ohb, owb = _round_up(h, BUCKET), _round_up(w, BUCKET)
+        ohb, owb = _round_up(h, self.bucket), _round_up(w, self.bucket)
         image_pad = np.zeros((ohb, owb, 3), image.dtype)
         image_pad[:h, :w] = image
         img_dev = jnp.asarray(image_pad)

@@ -101,6 +101,7 @@ class SlidingWindowEvaluator:
         stride_rate: float = 2 / 3,
         window_batch: int = 8,
         mode: str = "device",
+        bucket: int = 128,
     ):
         self.model = model
         self.variables = variables
@@ -124,7 +125,7 @@ class SlidingWindowEvaluator:
         if mode == "device_bucketed":
             from semseg_tpu.engine.bucketed import BucketedPipeline
 
-            self._bucketed = BucketedPipeline(self)
+            self._bucketed = BucketedPipeline(self, bucket=bucket)
 
     # ------------------------------------------------------------------
     # shared window forward (normalize -> model -> logit resize -> softmax)

@@ -282,9 +282,12 @@ def test_device_pipeline_matches_host_pipeline():
     assert agree > 0.995, agree
 
 
-def test_bucketed_pipeline_matches_host_across_shapes():
+@pytest.mark.parametrize("bucket", [32, 128])
+def test_bucketed_pipeline_matches_host_across_shapes(bucket):
     """device_bucketed must agree with the host reference pipeline on
-    variable image shapes (the ADE20K/VOC case) while reusing programs."""
+    variable image shapes (the ADE20K/VOC case) while reusing programs —
+    at any bucket granularity (bucket=32 exercises multi-bucket keys on
+    these small images; 128 puts every shape in one bucket)."""
     from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
 
     rs = np.random.RandomState(3)
@@ -294,7 +297,8 @@ def test_bucketed_pipeline_matches_host_across_shapes():
         scales=[0.75, 1.0], flip=True, window_batch=4,
     )
     dev = SlidingWindowEvaluator(
-        _PerPixelModel(2.0), {}, mode="device_bucketed", **kwargs
+        _PerPixelModel(2.0), {}, mode="device_bucketed", bucket=bucket,
+        **kwargs
     )
     host = SlidingWindowEvaluator(
         _PerPixelModel(2.0), {}, mode="host", **kwargs
@@ -311,7 +315,8 @@ def test_bucketed_pipeline_matches_host_across_shapes():
         agree = (np.argmax(p_dev, -1) == np.argmax(p_host, -1)).mean()
         assert agree > 0.99, (shape, agree)
     # program reuse: bounded compile count across 4 shapes x 2 scales
-    assert len(dev._bucketed._programs) <= 4
+    # (tighter buckets distinguish more canvas shapes, but stay bounded)
+    assert len(dev._bucketed._programs) <= (4 if bucket == 128 else 12)
 
 
 def test_cal_acc_scoring(synth_dataset, tmp_path):

@@ -260,32 +260,42 @@ def section_eval():
     value_scale = 255
     mean = [m * value_scale for m in (0.485, 0.456, 0.406)]
     std = [s * value_scale for s in (0.229, 0.224, 0.225)]
-    evaluator = SlidingWindowEvaluator(
-        model, variables, classes=150, crop_h=473, crop_w=473,
-        mean=mean, std=std, base_size=512, scales=[1.0],
-        window_batch=8, mode="device_bucketed",
-    )
     rs = np.random.RandomState(0)
     shapes = [(512, 683), (512, 768), (480, 640), (512, 512), (384, 512),
               (512, 683), (512, 768), (480, 640)]
     images = [(rs.rand(h, w, 3) * 255).astype(np.uint8) for h, w in shapes]
-    for img in images:  # warm-up / compile all buckets
-        evaluator.predict(img)
-    start = time.perf_counter()
-    reps = 4
-    pending = []
-    for _ in range(reps):
-        for img in images:
-            pending.append(evaluator.predict_async(img))
-    results = [np.asarray(p) for p in pending]
-    elapsed = time.perf_counter() - start
-    assert len(results) == reps * len(images)
-    _emit(
-        "eval_ss_ade20k_shapes_pspnet50_bucketed",
-        images_per_sec_chip=round(len(results) / elapsed, 2),
-        programs=len(evaluator._bucketed._programs),
-        shapes=len(set(shapes)),
-    )
+    # Bucket-granularity sweep: smaller buckets pad less per image but
+    # compile more programs on a shape-diverse dataset (PERF_BUCKETS to
+    # override, e.g. "64,128,256").
+    buckets = [int(b) for b in
+               os.environ.get("PERF_BUCKETS", "128").split(",")]
+    for bucket in buckets:
+        evaluator = SlidingWindowEvaluator(
+            model, variables, classes=150, crop_h=473, crop_w=473,
+            mean=mean, std=std, base_size=512, scales=[1.0],
+            window_batch=8, mode="device_bucketed", bucket=bucket,
+        )
+        t0 = time.perf_counter()
+        for img in images:  # warm-up / compile all buckets
+            evaluator.predict(img)
+        compile_s = time.perf_counter() - t0
+        start = time.perf_counter()
+        reps = 4
+        pending = []
+        for _ in range(reps):
+            for img in images:
+                pending.append(evaluator.predict_async(img))
+        results = [np.asarray(p) for p in pending]
+        elapsed = time.perf_counter() - start
+        assert len(results) == reps * len(images)
+        _emit(
+            "eval_ss_ade20k_shapes_pspnet50_bucketed",
+            bucket=bucket,
+            images_per_sec_chip=round(len(results) / elapsed, 2),
+            programs=len(evaluator._bucketed._programs),
+            shapes=len(set(shapes)),
+            warmup_s=round(compile_s, 1),
+        )
 
 
 SECTIONS = {"train": section_train, "loader": section_loader,

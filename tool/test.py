@@ -104,6 +104,7 @@ def run(cfg):
             mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
             window_batch=cfg.get("window_batch") or 16,
             mode=mode,
+            bucket=cfg.get("eval_bucket") or 128,
         )
         test(
             logger, test_data, evaluator, gray_folder, color_folder, colors
