@@ -134,6 +134,27 @@ def test_train_driver_uneven_val_batches(synth_dataset, tmp_path):
     assert int(state.step) == 1
 
 
+def test_train_driver_f16_image_wire(synth_dataset, tmp_path):
+    """`image_wire_dtype: float16` (half the host->device image bytes)
+    trains end-to-end; the quantization is ~5e-4 relative on normalized
+    inputs, so the first-step loss stays within float tolerance of the
+    float32-wire run."""
+    train_tool = _load_tool("train")
+    cfg = _train_cfg(synth_dataset, tmp_path, evaluate=False)
+    state32 = train_tool.run(cfg)
+    cfg16 = _train_cfg(
+        synth_dataset, tmp_path, evaluate=False,
+        image_wire_dtype="float16",
+        save_path=str(tmp_path / "model16"),
+    )
+    state16 = train_tool.run(cfg16)
+    assert int(state16.step) == 1
+    a = np.asarray(jax.tree.leaves(state32.params)[0], np.float64)
+    b = np.asarray(jax.tree.leaves(state16.params)[0], np.float64)
+    # identical recipe modulo input wire quantization
+    np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-2)
+
+
 def test_train_driver_model_parallel(synth_dataset, tmp_path):
     """`model_parallel: 2` config key -> (4, 2) mesh with TP head sharding,
     end-to-end through the driver."""

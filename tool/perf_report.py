@@ -203,11 +203,16 @@ def section_loader(tmp_root="/tmp/perf_ade"):
     mesh = create_mesh()
     sharding = batch_sharding(mesh)
 
+    wire = np.float16 if os.environ.get("PERF_WIRE") == "float16" else np.float32
+
     def to_global(images, labels):
         # uint8 label wire format (exact; cast to int32 on device) — same
-        # as tool/train.py::to_global
+        # as tool/train.py::to_global; PERF_WIRE=float16 mirrors the
+        # `image_wire_dtype: float16` config key (half the image bytes).
         if labels.dtype != np.uint8:
             labels = labels.astype(np.uint8)
+        if images.dtype != wire:
+            images = images.astype(wire)
         return jax.device_put(images, sharding), jax.device_put(labels, sharding)
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
@@ -237,7 +242,7 @@ def section_loader(tmp_root="/tmp/perf_ade"):
     _emit(
         "train_e2e_real_loader_pspnet50_ade473",
         dtype=dtype_name, batch=batch, workers=workers, steps=n_steps,
-        native=use_native,
+        native=use_native, wire=str(np.dtype(wire)),
         images_per_sec_chip=round(n_steps * batch / elapsed, 2),
         note="includes cv2 decode+augment on this host's core count and "
              "the ~45 MB/s relay upload",

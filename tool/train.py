@@ -332,9 +332,25 @@ def run(cfg):
     # loader's int64, bit-exact (the train step casts to int32 on device).
     labels_u8 = cfg.classes <= 255 and cfg.ignore_label <= 255
 
+    # Optional image wire format (`image_wire_dtype: float16`): halves the
+    # host->device image bytes. Free on the bfloat16 compute path (the
+    # first conv truncates to 8 mantissa bits anyway; f16 keeps 10), but a
+    # real numerics change for the reference-exact float32 recipe — warn.
+    wire_name = cfg.get("image_wire_dtype") or "float32"
+    if wire_name not in ("float32", "float16"):
+        raise ValueError(f"image_wire_dtype must be float32/float16, got {wire_name}")
+    image_wire = np.float16 if wire_name == "float16" else np.float32
+    if image_wire == np.float16 and dtype_name != "bfloat16":
+        logger.warning(
+            "image_wire_dtype float16 with float32 compute quantizes the "
+            "normalized inputs (~5e-4 relative); use only when transfer-bound"
+        )
+
     def to_global(images, labels):
         if labels_u8 and labels.dtype != np.uint8:
             labels = labels.astype(np.uint8)
+        if images.dtype != image_wire:
+            images = images.astype(image_wire)
         if jax.process_count() == 1:
             return (
                 jax.device_put(images, sharding),
