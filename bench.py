@@ -64,16 +64,26 @@ def main():
     demo = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "figure", "demo", "ADE_val_00001515.jpg")
     if os.path.isfile(demo):
+        input_kind = "demo_photo"
         bgr = cv2.imread(demo, cv2.IMREAD_COLOR)
         image = cv2.cvtColor(
             cv2.resize(bgr, (2048, 1024), interpolation=cv2.INTER_LINEAR),
             cv2.COLOR_BGR2RGB,
         )
-    else:  # fallback: structured synthetic (photo-like, not noise)
+    else:
+        # Fallback: structured content + per-pixel noise. Measured to
+        # transfer at the same rate as pure noise over the compressing
+        # relay (28.7 vs 27.0 MB/s), so the fallback does not overstate
+        # throughput relative to the photo workload it stands in for.
+        input_kind = "synthetic"
+        rs = np.random.RandomState(0)
         yy, xx = np.mgrid[0:1024, 0:2048].astype(np.float32)
-        image = np.stack(
+        base = np.stack(
             [(yy / 8 + xx / 16) % 256, (xx / 4) % 256, ((yy + xx) / 12) % 256],
             -1,
+        )
+        image = np.clip(
+            base + rs.randint(-4, 5, base.shape), 0, 255
         ).astype(np.uint8)
 
     # Warm-up: compiles the per-scale program, then two full timed-path
@@ -105,6 +115,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "windows": [round(r, 3) for r in window_rates],
+        "input": input_kind,
     }))
 
 

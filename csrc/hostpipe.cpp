@@ -152,10 +152,18 @@ PyObject* augment(PyObject*, PyObject* args) {
     cv::warpAffine(flab, flab, m, flab.size(), cv::INTER_NEAREST,
                    cv::BORDER_CONSTANT, cv::Scalar(ignore));
   }
-  // 3) 5x5 Gaussian blur (transform.py::RandomGaussianBlur)
-  if (blur) cv::GaussianBlur(fimg, fimg, cv::Size(5, 5), 0);
+  // 3) 5x5 Gaussian blur (transform.py::RandomGaussianBlur). If neither
+  // resize nor rotate ran, fimg/flab still wrap the caller's numpy
+  // buffers — copy before the first in-place op so augment() never
+  // mutates its inputs.
+  if (blur) {
+    if (fimg.data == img.data) fimg = fimg.clone();
+    cv::GaussianBlur(fimg, fimg, cv::Size(5, 5), 0);
+  }
   // 4) horizontal flip
   if (flip) {
+    if (fimg.data == img.data) fimg = fimg.clone();
+    if (flab.data == lab.data) flab = flab.clone();
     cv::flip(fimg, fimg, 1);
     cv::flip(flab, flab, 1);
   }

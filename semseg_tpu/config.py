@@ -67,7 +67,8 @@ CfgNode = Config
 EXTENSION_KEYS = frozenset({
     "pretrained", "initmodel", "compute_dtype", "model_parallel",
     "native_loader", "eval_pipeline", "window_batch", "profile_dir",
-    "remat", "image", "allow_random_weights",
+    "remat", "image", "allow_random_weights", "image_wire_dtype",
+    "eval_bucket",
 })
 
 

@@ -156,11 +156,14 @@ def test_extension_keys_accepted_unknown_rejected(yaml_file):
     cfg = cfgmod.load_cfg(yaml_file)
     merged = cfgmod.merge_cfg_from_list(
         cfg, ["native_loader", "True", "model_parallel", "2",
-              "compute_dtype", "bfloat16", "pretrained", "False"]
+              "compute_dtype", "bfloat16", "pretrained", "False",
+              "image_wire_dtype", "float16", "eval_bucket", "64"]
     )
     assert merged.native_loader is True
     assert merged.model_parallel == 2
     assert merged.compute_dtype == "bfloat16"
     assert merged.pretrained is False
+    assert merged.image_wire_dtype == "float16"
+    assert merged.eval_bucket == 64
     with pytest.raises(KeyError):
         cfgmod.merge_cfg_from_list(cfg, ["definitely_not_a_key", "1"])

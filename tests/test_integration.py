@@ -340,6 +340,38 @@ def test_bucketed_pipeline_matches_host_across_shapes(bucket):
     assert len(dev._bucketed._programs) <= (4 if bucket == 128 else 12)
 
 
+def test_image_shape_probe_exif_orientation(tmp_path):
+    """The eval-pipeline auto-probe's header sniff must report the
+    *decoded* shape: cv2.imread applies EXIF orientation, so a JPEG with
+    a 90-degree orientation tag has swapped H/W vs its SOF dims."""
+    import struct
+
+    test_tool = _load_tool("test")
+    rs = np.random.RandomState(0)
+    img = (rs.rand(30, 50, 3) * 255).astype(np.uint8)
+    plain = tmp_path / "plain.jpg"
+    cv2.imwrite(str(plain), img)
+    assert test_tool._image_shape(str(plain)) == (30, 50)
+
+    # splice an APP1 Exif segment (orientation=6, rotate 90 CW) after SOI
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)                      # one IFD entry
+        + struct.pack("<HHI", 0x0112, 3, 1)         # orientation SHORT x1
+        + struct.pack("<HH", 6, 0)                  # value 6 + pad
+        + struct.pack("<I", 0)                      # next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    raw = plain.read_bytes()
+    rotated = tmp_path / "rotated.jpg"
+    rotated.write_bytes(raw[:2] + app1 + raw[2:])
+
+    decoded = cv2.imread(str(rotated), cv2.IMREAD_COLOR).shape[:2]
+    probed = test_tool._image_shape(str(rotated))
+    assert probed == decoded == (50, 30)
+
+
 def test_cal_acc_scoring(synth_dataset, tmp_path):
     """tool/test.py scoring path: perfect predictions -> mIoU 1.0."""
     import logging

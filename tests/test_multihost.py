@@ -69,6 +69,23 @@ _WORKER = textwrap.dedent(
                    out_shardings=NamedSharding(mesh, P()))(g)
     np.testing.assert_allclose(np.asarray(mean), full.mean(), rtol=1e-6)
 
+    # Coordinated preemption: only process 1 sees a local signal, at loop
+    # step 2 — both processes must agree and stop at the SAME step
+    # (per-host breaking would deadlock the next step's collectives).
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "tool_train", os.path.join(os.environ["SEMSEG_REPO"], "tool", "train.py")
+    )
+    train_tool = ilu.module_from_spec(spec)
+    spec.loader.exec_module(train_tool)
+    stopped_at = None
+    for step in range(5):
+        flag_local = (pid == 1 and step >= 2)
+        if train_tool._preempt_agreed(flag_local):
+            stopped_at = step
+            break
+    assert stopped_at == 2, stopped_at
+
     print("MULTIHOST_OK", pid, flush=True)
     """
 )

@@ -130,11 +130,20 @@ def test_native_rotation_within_library_variance(hostpipe, png_dataset):
     from semseg_tpu.data.transform import per_sample_rng
 
     root, lst = png_dataset
+    from semseg_tpu.data.transform import _default_rng
+
     py_ds = _python_dataset(root, lst, rotate=True)
     nat_ds = _native_dataset(hostpipe, root, lst, rotate=True)
     rotated = 0
+    fired = 0
     for epoch in range(3):
         for idx in range(len(py_ds)):
+            # Replicate the parameter stream's first two draws (scale,
+            # rotate-gate) to count how often the rotation branch runs.
+            with per_sample_rng(11, epoch, idx):
+                _default_rng.random()
+                if _default_rng.random() < 0.5:
+                    fired += 1
             with per_sample_rng(11, epoch, idx):
                 img_py, lab_py = py_ds[idx]
             with per_sample_rng(11, epoch, idx):
@@ -149,8 +158,30 @@ def test_native_rotation_within_library_variance(hostpipe, png_dataset):
             assert mean_abs < 2e-2, f"image drift e{epoch} i{idx}: {mean_abs}"
             if frac > 0:
                 rotated += 1
-    # sanity: the rotation branch actually fired somewhere
-    assert rotated >= 0
+    # sanity: the rotation branch actually fired somewhere (24 samples at
+    # p=0.5; `rotated` — samples with any cross-build divergence — can
+    # only come from rotated samples)
+    assert fired > 0
+    assert rotated <= fired
+
+
+def test_native_augment_does_not_mutate_inputs(hostpipe):
+    """With scale and rotation disabled, blur/flip must not write through
+    into the caller's arrays (they alias the input until the first
+    copying op)."""
+    from semseg_tpu.data import _hostpipe
+
+    rs = np.random.RandomState(5)
+    img = rs.rand(40, 50, 3).astype(np.float32) * 255
+    lab = rs.randint(0, 5, size=(40, 50)).astype(np.uint8)
+    img_copy, lab_copy = img.copy(), lab.copy()
+    _hostpipe.augment(
+        img, lab, 0.0, 0.0, 0, 0.0, 1, 1, 33, 33, 2, 3,
+        MEAN[0], MEAN[1], MEAN[2], 255,
+        MEAN[0], MEAN[1], MEAN[2], STD[0], STD[1], STD[2], 1,
+    )
+    np.testing.assert_array_equal(img, img_copy)
+    np.testing.assert_array_equal(lab, lab_copy)
 
 
 def test_native_deterministic(hostpipe, png_dataset):

@@ -113,9 +113,39 @@ def run(cfg):
         cal_acc(logger, test_data.data_list, gray_folder, cfg.classes, names)
 
 
+def _jpeg_exif_orientation(f):
+    """EXIF orientation (1-8) from an open JPEG positioned at an APP1
+    payload start, or None. cv2.imread applies this orientation when
+    decoding, so the shape probe must account for it."""
+    import struct
+
+    if f.read(6) != b"Exif\x00\x00":
+        return None
+    tiff = f.tell()
+    order = f.read(2)
+    if order == b"II":
+        fmt = "<"
+    elif order == b"MM":
+        fmt = ">"
+    else:
+        return None
+    if struct.unpack(fmt + "H", f.read(2))[0] != 42:
+        return None
+    (ifd_off,) = struct.unpack(fmt + "I", f.read(4))
+    f.seek(tiff + ifd_off)
+    (count,) = struct.unpack(fmt + "H", f.read(2))
+    for _ in range(count):
+        entry = f.read(12)
+        tag, typ = struct.unpack(fmt + "HH", entry[:4])
+        if tag == 0x0112 and typ == 3:  # orientation, SHORT
+            return struct.unpack(fmt + "H", entry[8:10])[0]
+    return None
+
+
 def _image_shape(path):
-    """(H, W) of an image file without decoding the pixels when possible
-    (PNG/JPEG header sniff; cv2 fallback)."""
+    """Decoded (H, W) of an image file without reading the pixels when
+    possible (PNG/JPEG header sniff, EXIF-orientation aware; cv2
+    fallback)."""
     try:
         with open(path, "rb") as f:
             head = f.read(32)
@@ -128,6 +158,8 @@ def _image_shape(path):
                 import struct
 
                 f.seek(2)
+                transposed = None
+                hw = None
                 while True:
                     marker = f.read(2)
                     if len(marker) < 2 or marker[0] != 0xFF:
@@ -136,10 +168,21 @@ def _image_shape(path):
                         0xC4, 0xC8, 0xCC,
                     ):
                         f.read(3)
-                        h, w = struct.unpack(">HH", f.read(4))
-                        return (h, w)
+                        hw = struct.unpack(">HH", f.read(4))
+                        if transposed is not None:
+                            break
+                        # keep walking only if EXIF not seen yet (APP1
+                        # precedes SOF in practice; stop either way)
+                        break
                     (size,) = struct.unpack(">H", f.read(2))
-                    f.seek(size - 2, 1)
+                    payload_at = f.tell()
+                    if marker[1] == 0xE1 and transposed is None:  # APP1
+                        orient = _jpeg_exif_orientation(f)
+                        transposed = orient in (5, 6, 7, 8)
+                    f.seek(payload_at + size - 2)
+                if hw is not None:
+                    h, w = hw
+                    return (w, h) if transposed else (h, w)
     except Exception:
         pass
     img = cv2.imread(path, cv2.IMREAD_COLOR)

@@ -330,7 +330,7 @@ def run(cfg):
     # Labels travel as uint8 when class ids fit (every shipped dataset:
     # classes <= 150, ignore 255) — 8x less host->device traffic than the
     # loader's int64, bit-exact (the train step casts to int32 on device).
-    labels_u8 = cfg.classes <= 255 and cfg.ignore_label <= 255
+    labels_u8 = cfg.classes <= 255 and 0 <= cfg.ignore_label <= 255
 
     # Optional image wire format (`image_wire_dtype: float16`): halves the
     # host->device image bytes. Free on the bfloat16 compute path (the
@@ -381,6 +381,8 @@ def run(cfg):
         )
         state = stats.pop("state")
         if stats.pop("preempted", False):
+            if profile_dir and is_main:
+                jax.profiler.stop_trace()
             if is_main:
                 path = ckpt.save_preempt_checkpoint(
                     cfg.save_path, epoch, state
@@ -489,9 +491,10 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
                     float(m["aux_loss"]), float(m["loss"]), accuracy,
                     float(m["lr"]),
                 )
-        if (preempt is not None and preempt["flag"]) or (
+        flag_local = (preempt is not None and preempt["flag"]) or (
             preempt_after is not None and current_iter >= int(preempt_after)
-        ):
+        )
+        if _preempt_agreed(flag_local):
             preempted = True
             break
     flush()
@@ -515,6 +518,31 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
         "allAcc": all_acc,
         "preempted": preempted,
     }
+
+
+def _preempt_agreed(flag_local: bool) -> bool:
+    """Collective preemption decision.
+
+    Signal delivery is asynchronous: in a multi-host run, host A can see
+    SIGTERM one step earlier than host B (or B never receives it). If
+    each host broke on its own flag, the lagging hosts would dispatch the
+    next step's cross-host collectives (SyncBN moments, gradient
+    all-reduce) that the exited host never joins — a deadlock — and the
+    saved snapshot's step would disagree across hosts. Every host calls
+    this at the same loop point each iteration, so all hosts observe the
+    same OR-reduced flag and break on the same step boundary.
+    Single-process: the local flag as-is.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(flag_local)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([1 if flag_local else 0], np.int32)
+    )
+    return bool(np.asarray(flags).any())
 
 
 def _device_prefetch(iterator, to_global, depth=2):
