@@ -58,6 +58,12 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32):
     values (PSA mask dims) the caller may want to record.
     """
     validate_arch(cfg)
+    # Optional f32-path speed knob (`matmul_precision: high` = 3-pass
+    # bfloat16 decomposition on the MXU; default 'highest' = exact f32,
+    # the reference-numerics contract). No effect under bf16 compute.
+    from semseg_tpu.models.layers import set_precision_override
+
+    set_precision_override(cfg.get("matmul_precision"))
     updates = {}
     if cfg.arch == "psp":
         model = PSPNet(

@@ -23,15 +23,32 @@ kaiming_normal_fan_out = nn.initializers.variance_scaling(
 )
 
 
+# Optional global precision override (config `matmul_precision`): lets a
+# float32-compute run trade exactness for MXU passes — 'high' on TPU is
+# the 3-pass bfloat16 decomposition (~f32-grade accuracy at a fraction of
+# native-f32 cost), 'highest' is full float32. None = per-dtype default.
+_precision_override = None
+
+
+def set_precision_override(precision):
+    global _precision_override
+    if precision not in (None, "default", "high", "highest"):
+        raise ValueError(f"matmul_precision must be default/high/highest, "
+                         f"got {precision}")
+    _precision_override = None if precision in (None, "default") else precision
+
+
 def default_precision(dtype):
     """Matmul/conv precision policy.
 
     JAX's default matmul precision truncates operands to bfloat16. That is
     the intended fast path when the compute dtype *is* bfloat16, but in
     float32 mode (eval parity against reference checkpoints) operands must
-    stay full precision.
+    stay full precision — unless explicitly overridden (above).
     """
-    return "highest" if dtype == jnp.float32 else None
+    if dtype == jnp.float32:
+        return _precision_override or "highest"
+    return None
 
 
 class BatchNorm(nn.Module):

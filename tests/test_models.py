@@ -53,6 +53,29 @@ def test_derive_psa_mask_dims_compact_and_explicit():
         derive_psa_mask_dims(Config({**base, "mask_h": 61, "mask_w": 61}))
 
 
+def test_matmul_precision_knob_plumbs_through_build():
+    """`matmul_precision: high` switches the f32 conv precision policy to
+    the 3-pass bf16 decomposition; absence resets to exact 'highest' (the
+    override must not leak between builds); bad values error."""
+    from semseg_tpu.config import Config
+    from semseg_tpu.models.layers import default_precision
+
+    base = dict(classes=10, zoom_factor=8, arch="psp", layers=50,
+                train_h=473, train_w=473)
+    try:
+        build_model(Config({**base, "matmul_precision": "high"}))
+        assert default_precision(jnp.float32) == "high"
+        assert default_precision(jnp.bfloat16) is None  # bf16 unaffected
+        build_model(Config(base))
+        assert default_precision(jnp.float32) == "highest"
+        with pytest.raises(ValueError):
+            build_model(Config({**base, "matmul_precision": "medium"}))
+    finally:
+        from semseg_tpu.models.layers import set_precision_override
+
+        set_precision_override(None)
+
+
 def test_validate_arch_rejects_bad_configs():
     from semseg_tpu.config import Config
 

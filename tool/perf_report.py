@@ -36,7 +36,11 @@ def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
 
     from semseg_tpu.engine.trainer import create_train_state, make_train_step
     from semseg_tpu.models import PSANet, PSPNet
+    from semseg_tpu.models.layers import set_precision_override
 
+    # PERF_PRECISION=high mirrors the `matmul_precision: high` config key
+    # (3-pass bf16 decomposition for f32 compute).
+    set_precision_override(os.environ.get("PERF_PRECISION") or None)
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     if arch == "psp":
         model = PSPNet(layers=layers, classes=classes, zoom_factor=8,
