@@ -10,7 +10,7 @@ single mesh-axis reduction — the TPU-native replacement for
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Callable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,29 @@ from flax import linen as nn
 kaiming_normal_fan_out = nn.initializers.variance_scaling(
     2.0, "fan_out", "normal"
 )
+
+# PyTorch's default Conv2d/Linear weight init (kaiming_uniform_ with
+# a=sqrt(5)) reduces to U(+-sqrt(1/fan_in)). In the reference the explicit
+# kaiming init runs only inside ResNet.__init__ (model/resnet.py:123-128);
+# every conv created at the PSPNet/PSANet level (PPM branches, seg heads,
+# PSA reduce/attention/proj — model/pspnet.py:15-78, model/psanet.py:20-51)
+# keeps this torch default, so new-module call sites here pass it
+# explicitly for init-distribution parity.
+torch_default_conv_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_default_bias_init(fan_in: int):
+    """PyTorch Conv2d/Linear default bias init: U(+-1/sqrt(fan_in))."""
+    bound = float(fan_in) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
 
 
 # Optional global precision override (config `matmul_precision`): lets a
@@ -113,7 +136,12 @@ class BatchNorm(nn.Module):
 
 
 class ConvBN(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + optional ReLU, NHWC."""
+    """Conv2d(bias=False) + BatchNorm + optional ReLU, NHWC.
+
+    ``kernel_init`` defaults to the backbone's kaiming fan_out; modules
+    the reference builds outside ResNet.__init__ pass
+    ``torch_default_conv_init`` instead (see note above).
+    """
 
     features: int
     kernel_size: Union[int, Sequence[int]] = 1
@@ -121,6 +149,7 @@ class ConvBN(nn.Module):
     padding: int = 0
     dilation: int = 1
     relu: bool = True
+    kernel_init: Callable = kaiming_normal_fan_out
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -135,7 +164,7 @@ class ConvBN(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
-            kernel_init=kaiming_normal_fan_out,
+            kernel_init=self.kernel_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             precision=default_precision(self.dtype),

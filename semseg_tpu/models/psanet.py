@@ -22,7 +22,11 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from semseg_tpu.models.layers import ConvBN, default_precision
+from semseg_tpu.models.layers import (
+    ConvBN,
+    default_precision,
+    torch_default_conv_init,
+)
 from semseg_tpu.models.pspnet import SegHead
 from semseg_tpu.models.resnet import SEG_DILATIONS, SEG_STRIDES, ResNet
 from semseg_tpu.ops import psa_attention_matrix, resize_bilinear_align_corners
@@ -54,7 +58,8 @@ class PSA(nn.Module):
     def _branch(self, x, psa_type: int, suffix: str, train: bool):
         """One attention direction: reduce, shrink, attend, aggregate."""
         xr = ConvBN(
-            self.mid_channels, 1, axis_name=self.axis_name, dtype=self.dtype,
+            self.mid_channels, 1, kernel_init=torch_default_conv_init,
+            axis_name=self.axis_name, dtype=self.dtype,
             name=f"reduce{suffix}",
         )(x, train)
         h, w = xr.shape[1], xr.shape[2]
@@ -63,11 +68,13 @@ class PSA(nn.Module):
             w = (w - 1) // self.shrink_factor + 1
             xr = resize_bilinear_align_corners(xr, (h, w))
         y = ConvBN(
-            self.mid_channels, 1, axis_name=self.axis_name, dtype=self.dtype,
+            self.mid_channels, 1, kernel_init=torch_default_conv_init,
+            axis_name=self.axis_name, dtype=self.dtype,
             name=f"attention{suffix}_cb",
         )(xr, train)
         y = nn.Conv(
             self.mask_h * self.mask_w, (1, 1), use_bias=False,
+            kernel_init=torch_default_conv_init,
             dtype=self.dtype, param_dtype=jnp.float32,
             precision=default_precision(self.dtype),
             name=f"attention{suffix}_conv",
@@ -126,7 +133,8 @@ class PSA(nn.Module):
             dis, _ = self._branch(x, DISTRIBUTE, "_p", train)
             feat = jnp.concatenate([col, dis], axis=-1)
         feat = ConvBN(
-            self.in_channels, 1, axis_name=self.axis_name, dtype=self.dtype,
+            self.in_channels, 1, kernel_init=torch_default_conv_init,
+            axis_name=self.axis_name, dtype=self.dtype,
             name="proj",
         )(feat, train)
         if self.shrink_factor != 1:

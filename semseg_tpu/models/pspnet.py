@@ -20,15 +20,15 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from semseg_tpu.models.layers import ConvBN, Dropout2d, default_precision
+from semseg_tpu.models.layers import (
+    ConvBN,
+    Dropout2d,
+    default_precision,
+    torch_default_bias_init,
+    torch_default_conv_init,
+)
 from semseg_tpu.models.resnet import SEG_DILATIONS, SEG_STRIDES, ResNet
 from semseg_tpu.ops import adaptive_avg_pool2d, resize_bilinear_align_corners
-
-# PyTorch's default Conv2d weight init (kaiming_uniform with a=sqrt(5))
-# reduces to uniform(+-sqrt(1/fan_in)); used for the final logit convs.
-torch_default_conv_init = nn.initializers.variance_scaling(
-    1.0 / 3.0, "fan_in", "uniform"
-)
 
 
 class PPM(nn.Module):
@@ -46,8 +46,9 @@ class PPM(nn.Module):
         for i, bin_size in enumerate(self.bins):
             y = adaptive_avg_pool2d(x, bin_size)
             y = ConvBN(
-                self.reduction_dim, 1, axis_name=self.axis_name,
-                dtype=self.dtype, name=f"branch{i}",
+                self.reduction_dim, 1, kernel_init=torch_default_conv_init,
+                axis_name=self.axis_name, dtype=self.dtype,
+                name=f"branch{i}",
             )(y, train)
             out.append(resize_bilinear_align_corners(y, (h, w)))
         return jnp.concatenate(out, axis=-1)
@@ -65,13 +66,15 @@ class SegHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = ConvBN(
-            self.mid_channels, 3, padding=1, axis_name=self.axis_name,
-            dtype=self.dtype, name="cb",
+            self.mid_channels, 3, padding=1,
+            kernel_init=torch_default_conv_init,
+            axis_name=self.axis_name, dtype=self.dtype, name="cb",
         )(x, train)
         x = Dropout2d(self.dropout)(x, train)
         return nn.Conv(
             self.classes, (1, 1), use_bias=True,
             kernel_init=torch_default_conv_init,
+            bias_init=torch_default_bias_init(self.mid_channels),
             dtype=self.dtype, param_dtype=jnp.float32,
             precision=default_precision(self.dtype), name="conv_logits",
         )(x)

@@ -25,7 +25,8 @@ from flax import linen as nn
 from semseg_tpu.models.layers import (
     ConvBN,
     default_precision,
-    kaiming_normal_fan_out,
+    torch_default_bias_init,
+    torch_default_conv_init,
 )
 from semseg_tpu.ops import max_pool2d
 
@@ -184,8 +185,11 @@ class ResNetClassifier(nn.Module):
             name="backbone",
         )(x, train)
         pooled = jnp.mean(c4, axis=(1, 2))
+        # The reference's kaiming loop covers only Conv2d/BatchNorm
+        # (model/resnet.py:123-128); nn.Linear fc keeps torch defaults.
         return nn.Dense(
-            self.num_classes, kernel_init=kaiming_normal_fan_out,
+            self.num_classes, kernel_init=torch_default_conv_init,
+            bias_init=torch_default_bias_init(pooled.shape[-1]),
             param_dtype=jnp.float32, dtype=self.dtype,
             precision=default_precision(self.dtype), name="fc",
         )(pooled)
