@@ -27,7 +27,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from semseg_tpu.engine.losses import cross_entropy_sum
+from semseg_tpu.engine.losses import cross_entropy_sum, nll_and_valid
 from semseg_tpu.engine.optim import (
     SGDState,
     make_lr_mult,
@@ -61,17 +61,18 @@ def create_train_state(model, rng, sample_input) -> TrainState:
 
 def replica_mean_ce(logits, labels, num_replicas: int, ignore_index: int):
     """Mean over replicas of each replica's valid-pixel-mean CE (DDP
-    semantics). ``logits``: [B, H, W, C] with B divisible by replicas."""
+    semantics). ``logits``: [B, H, W, C] with B divisible by replicas.
+
+    NLL comes from ``losses.nll_and_valid`` (logsumexp-dot form — the
+    gather form is TPU-hostile at segmentation scale, see its docstring).
+    """
     b = logits.shape[0]
     assert b % num_replicas == 0, (b, num_replicas)
     group = b // num_replicas
     # Per-group means: reshape keeps the leading (sharded) axis outermost.
     lg = logits.reshape(num_replicas, group, *logits.shape[1:])
     tg = labels.reshape(num_replicas, group, *labels.shape[1:])
-    valid = (tg != ignore_index).astype(jnp.float32)
-    safe = jnp.where(tg == ignore_index, 0, tg)
-    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll, valid = nll_and_valid(lg, tg, ignore_index)
     axes = tuple(range(1, nll.ndim))
     group_sum = jnp.sum(nll * valid, axis=axes)
     group_cnt = jnp.maximum(jnp.sum(valid, axis=axes), 1.0)

@@ -160,6 +160,38 @@ def test_poly_lr_schedule():
 # ---------------------------------------------------------------------------
 # losses
 # ---------------------------------------------------------------------------
+def test_nll_per_pixel_matches_torch(rng):
+    """Per-pixel NLL (logsumexp-dot form) == torch CE reduction='none',
+    including gradient equality — guards the TPU-friendly reformulation
+    against the gather-based definition it replaced."""
+    from semseg_tpu.engine.losses import nll_and_valid
+
+    logits = rng.randn(2, 7, 7, 5).astype(np.float32) * 4.0
+    labels = rng.randint(0, 5, size=(2, 7, 7)).astype(np.int64)
+    labels[0, :2, :3] = 255
+    nll, valid = nll_and_valid(jnp.asarray(logits), jnp.asarray(labels), 255)
+    t_logits = torch.from_numpy(logits).permute(0, 3, 1, 2).requires_grad_()
+    want = F.cross_entropy(
+        t_logits, torch.from_numpy(labels), ignore_index=255,
+        reduction="none",
+    )
+    np.testing.assert_allclose(
+        np.asarray(nll * valid), want.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(valid), labels != 255)
+
+    want.sum().backward()
+    got_grad = jax.grad(
+        lambda lg: jnp.sum(nll_and_valid(lg, jnp.asarray(labels), 255)[0]
+                           * (jnp.asarray(labels) != 255))
+    )(jnp.asarray(logits))
+    np.testing.assert_allclose(
+        np.asarray(got_grad),
+        t_logits.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_cross_entropy_matches_torch(rng):
     logits = rng.randn(2, 7, 7, 5).astype(np.float32)
     labels = rng.randint(0, 5, size=(2, 7, 7)).astype(np.int64)
