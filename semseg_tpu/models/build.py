@@ -88,6 +88,9 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32):
             mask_w=mask_w,
             normalization_factor=cfg.normalization_factor,
             psa_softmax=bool(cfg.psa_softmax),
+            # None = auto (size-aware fused-Pallas/XLA choice, psanet.py);
+            # True/False force one path.
+            fused_attention=cfg.get("fused_attention"),
             remat=bool(cfg.get("remat") or False),
             axis_name=axis_name,
             dtype=dtype,

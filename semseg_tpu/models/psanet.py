@@ -40,6 +40,28 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# Auto-selection boundary for the fused Pallas softmax+bmm kernel, in
+# units of batch * positions (n * h * w after shrink). Measured on one
+# v5e chip (bf16 train steps): at the ADE recipe (n=16, hw=900 -> 14400)
+# fused wins slightly (203 vs 207 ms); at Cityscapes-PSA (hw=2025) fused
+# matches XLA at n=4 but FAILS TPU compilation at n>=8, while the XLA
+# softmax+einsum path compiles and reaches 35.5 img/s at n=8 vs the
+# fused path's 20.4 at its n=4 ceiling. Above this limit the auto rule
+# therefore prefers the XLA path; explicit ``fused_attention`` overrides.
+FUSED_ATTENTION_AUTO_LIMIT = 14400
+
+
+def use_fused_attention(fused_attention, n: int, hw: int) -> bool:
+    """Resolve the fused-kernel choice for one attention branch.
+
+    ``fused_attention``: True/False forces; None = auto (fused on TPU
+    when ``n * hw`` stays within the measured-safe compile envelope).
+    """
+    if fused_attention is not None:
+        return bool(fused_attention)
+    return _on_tpu() and n * hw <= FUSED_ATTENTION_AUTO_LIMIT
+
+
 class PSA(nn.Module):
     in_channels: int = 2048
     mid_channels: int = 512
@@ -92,11 +114,7 @@ class PSA(nn.Module):
         else:
             a = psa_attention_matrix(y, psa_type, self.mask_h, self.mask_w)
 
-        use_fused = (
-            self.fused_attention
-            if self.fused_attention is not None
-            else _on_tpu()
-        )
+        use_fused = use_fused_attention(self.fused_attention, n, hw)
         x_flat = xr.reshape(n, hw, -1)
         if use_fused and self.psa_softmax:
             # Fused Pallas kernel: softmax(dim=i) + aggregation in VMEM.

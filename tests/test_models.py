@@ -76,6 +76,44 @@ def test_matmul_precision_knob_plumbs_through_build():
         set_precision_override(None)
 
 
+def test_fused_attention_auto_rule_and_config_plumb(monkeypatch):
+    """Auto fused-kernel choice is size-aware (fused within the measured
+    compile envelope, XLA path above it); explicit True/False and the
+    `fused_attention` config key override it."""
+    import semseg_tpu.models.psanet as psanet_mod
+    from semseg_tpu.config import Config
+    from semseg_tpu.models.psanet import (
+        FUSED_ATTENTION_AUTO_LIMIT,
+        use_fused_attention,
+    )
+
+    monkeypatch.setattr(psanet_mod, "_on_tpu", lambda: True)
+    # ADE recipe (n=16, hw=30*30) sits exactly at the limit -> fused.
+    assert use_fused_attention(None, 16, 900)
+    # Cityscapes-PSA batch 8 (hw=45*45) exceeds it -> XLA path.
+    assert not use_fused_attention(None, 8, 2025)
+    assert use_fused_attention(None, 4, 2025)
+    assert 16 * 900 == FUSED_ATTENTION_AUTO_LIMIT
+    # Explicit override beats auto in both directions.
+    assert use_fused_attention(True, 8, 2025)
+    assert not use_fused_attention(False, 1, 1)
+    # Off-TPU auto is always the XLA path.
+    monkeypatch.setattr(psanet_mod, "_on_tpu", lambda: False)
+    assert not use_fused_attention(None, 1, 1)
+
+    cfg = Config(dict(
+        arch="psa", layers=50, classes=19, zoom_factor=8, train_h=705,
+        train_w=705, psa_type=2, compact=0, shrink_factor=2, mask_h=None,
+        mask_w=None, normalization_factor=1.0, psa_softmax=1,
+        fused_attention=False,
+    ))
+    model, _ = build_model(cfg)
+    assert model.fused_attention is False
+    cfg.pop("fused_attention")
+    model, _ = build_model(cfg)
+    assert model.fused_attention is None
+
+
 def test_validate_arch_rejects_bad_configs():
     from semseg_tpu.config import Config
 
