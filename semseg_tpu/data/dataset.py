@@ -100,3 +100,32 @@ class SemData:
         if self.transform is not None:
             image, label = self.transform(image, label)
         return image, label
+
+
+class Uint8Wire:
+    """Wraps a dataset whose images are float [0,255] pixels and emits
+    them as uint8 — the per-sample conversion for the
+    ``image_wire_dtype: uint8`` path (quarter the f32 wire bytes, with
+    normalization moved onto the device).
+
+    Running the conversion here puts it on the loader's worker threads
+    via ``cv2.convertScaleAbs`` (round-half-to-even + saturate, identical
+    to ``clip(rint(x), 0, 255)`` for the non-negative pixels this
+    pipeline produces) — cv2 releases the GIL, unlike a main-loop
+    ``np.rint`` over the stacked batch, which on a small host steals the
+    core from the decode workers.
+    """
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        import cv2
+
+        image, label = self.dataset[index]
+        if image.dtype != np.uint8:
+            image = cv2.convertScaleAbs(image)
+        return image, label

@@ -65,6 +65,7 @@ class NativeSemData:
         blur_p: float = 0.5,
         flip_p: float = 0.5,
         rotate_p: float = 0.5,
+        normalize: bool = True,
         rng=None,
     ):
         if _hostpipe is None:
@@ -86,6 +87,11 @@ class NativeSemData:
         self.blur_p = blur_p
         self.flip_p = flip_p
         self.rotate_p = rotate_p
+        # normalize=False emits RAW [0,255] float pixels (for the uint8
+        # wire format with on-device normalization); mean keeps filling
+        # rotation/crop padding either way, mirroring the reference's
+        # mean-padded borders.
+        self.normalize = bool(normalize)
         self.rng = rng or _default_rng
 
     def __len__(self) -> int:
@@ -130,10 +136,12 @@ class NativeSemData:
             w_off = (pw - self.crop_w) // 2
 
         std = self.std or [1.0, 1.0, 1.0]
+        norm_mean = self.mean if self.normalize else [0.0, 0.0, 0.0]
+        has_std = 1 if (self.normalize and self.std is not None) else 0
         return _hostpipe.augment(
             img, lab, fx, fy, has_rotate, angle, blur, flip,
             self.crop_h, self.crop_w, h_off, w_off,
             self.mean[0], self.mean[1], self.mean[2], self.ignore_label,
-            self.mean[0], self.mean[1], self.mean[2],
-            std[0], std[1], std[2], 1 if self.std is not None else 0,
+            norm_mean[0], norm_mean[1], norm_mean[2],
+            std[0], std[1], std[2], has_std,
         )

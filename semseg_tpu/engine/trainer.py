@@ -94,14 +94,23 @@ def make_train_step(
     num_replicas: int,
     rng_seed: int = 0,
     donate: bool = True,
+    normalize=None,
 ):
     """Build the jitted train step: (state, images, labels) -> (state, metrics).
 
     ``images``: [B, H, W, 3] float32 (normalized), sharded along batch.
     ``labels``: [B, H, W] int32/int64 with ignore_label outside.
+    ``normalize``: optional (mean, std) 3-vectors — images then arrive as
+    RAW pixels (e.g. the uint8 wire format) and are normalized on device
+    in float32, IEEE-identical to the host-side ``transform.Normalize``.
     """
 
     def step_fn(state: TrainState, images, labels):
+        if normalize is not None:
+            mean, std = normalize
+            images = (images.astype(jnp.float32)
+                      - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+                          std, jnp.float32)
         if zoom_factor != 8:
             # Reference downscales float labels bilinearly (align_corners)
             # when the model emits smaller logits (tool/train.py:262-266).
@@ -175,11 +184,17 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, *, classes: int, ignore_label: int, zoom_factor: int):
+def make_eval_step(model, *, classes: int, ignore_label: int, zoom_factor: int,
+                   normalize=None):
     """Center-crop validation step (reference ``tool/train.py:343-406``):
     eval-mode forward, CE loss, argmax metrics."""
 
     def step_fn(variables, images, labels):
+        if normalize is not None:
+            mean, std = normalize
+            images = (images.astype(jnp.float32)
+                      - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+                          std, jnp.float32)
         logits = model.apply(variables, images, train=False)
         labels_t = labels.astype(jnp.int32)
         if zoom_factor != 8:

@@ -38,6 +38,48 @@ def test_normalize(pair):
     np.testing.assert_allclose(image, want, rtol=1e-6)
 
 
+def test_uint8_wire_device_normalize_is_exact(pair):
+    """The uint8 wire format's decomposition — drop host Normalize, round
+    integer-valued pixels to uint8, normalize on device in f32 — is
+    bit-exact vs the host-normalized path whenever the augmented pixels
+    are integers (both sides run the same IEEE f32 subtract/divide)."""
+    import jax.numpy as jnp
+
+    mean = [123.675, 116.28, 103.53]
+    std = [58.395, 57.12, 57.375]
+    raw = np.rint(pair[0]).astype(np.float32)  # integer-valued pixels
+    host_norm, _ = transform.Normalize(mean, std)(raw.copy(), pair[1])
+    wire = np.clip(np.rint(raw), 0.0, 255.0).astype(np.uint8)
+    dev_norm = (jnp.asarray(wire).astype(jnp.float32)
+                - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+                    std, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(dev_norm), host_norm)
+
+
+def test_uint8_wire_dataset_wrapper(pair):
+    """Uint8Wire rounds worker-side with cv2 (half-to-even + saturate),
+    identical to clip(rint(x), 0, 255) for this pipeline's pixels."""
+    from semseg_tpu.data import Uint8Wire
+
+    image = pair[0].copy()
+    image[0, 0, 0] = 0.5    # tie rounds to even (0)
+    image[0, 0, 1] = 1.5    # tie rounds to even (2)
+    image[0, 1, 0] = 255.4  # saturates to 255 after rint
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return image, pair[1]
+
+    img_u8, lab = Uint8Wire(_DS())[0]
+    assert img_u8.dtype == np.uint8
+    want = np.clip(np.rint(image), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(img_u8, want)
+    np.testing.assert_array_equal(lab, pair[1])
+
+
 def test_resize_semantics(pair):
     image, label = transform.Resize((10, 15))(*pair)
     assert image.shape == (10, 15, 3) and label.shape == (10, 15)

@@ -155,6 +155,27 @@ def test_train_driver_f16_image_wire(synth_dataset, tmp_path):
     np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-2)
 
 
+def test_train_driver_uint8_image_wire(synth_dataset, tmp_path):
+    """`image_wire_dtype: uint8` ships raw [0,255] pixels (quarter the
+    f32 wire bytes) and normalizes on device; inline validation exercises
+    the eval step's device normalization too. Quantization = rounding
+    interpolated pixels to integers (<= 0.5/255), so the first-step
+    params stay within float tolerance of the f32-wire run."""
+    train_tool = _load_tool("train")
+    cfg = _train_cfg(synth_dataset, tmp_path)
+    state32 = train_tool.run(cfg)
+    cfg8 = _train_cfg(
+        synth_dataset, tmp_path,
+        image_wire_dtype="uint8",
+        save_path=str(tmp_path / "model8"),
+    )
+    state8 = train_tool.run(cfg8)
+    assert int(state8.step) == 1
+    a = np.asarray(jax.tree.leaves(state32.params)[0], np.float64)
+    b = np.asarray(jax.tree.leaves(state8.params)[0], np.float64)
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=5e-2)
+
+
 def test_train_driver_model_parallel(synth_dataset, tmp_path):
     """`model_parallel: 2` config key -> (4, 2) mesh with TP head sharding,
     end-to-end through the driver."""

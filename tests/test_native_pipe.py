@@ -218,6 +218,35 @@ def test_native_through_loader(hostpipe, png_dataset):
         np.testing.assert_array_equal(nl, pl)
 
 
+def test_native_raw_output_for_uint8_wire(hostpipe, png_dataset):
+    """normalize=False (the uint8 wire format) emits raw [0,255] pixels:
+    normalizing them on the host reproduces the normalize=True output
+    bit-for-bit, and padding stays mean-filled."""
+    from semseg_tpu.data.transform import per_sample_rng
+
+    root, lst = png_dataset
+    norm_ds = hostpipe.NativeSemData(
+        "train", root, lst, crop_h=CROP, crop_w=CROP, mean=MEAN, std=STD,
+        ignore_label=255, crop_type="center", scale=None, rotate=None,
+        blur_p=0.0, flip_p=0.0,
+    )
+    raw_ds = hostpipe.NativeSemData(
+        "train", root, lst, crop_h=CROP, crop_w=CROP, mean=MEAN, std=STD,
+        ignore_label=255, crop_type="center", scale=None, rotate=None,
+        blur_p=0.0, flip_p=0.0, normalize=False,
+    )
+    mean = np.asarray(MEAN, np.float32)
+    std = np.asarray(STD, np.float32)
+    for idx in range(4):
+        with per_sample_rng(0, 0, idx):
+            img_n, lab_n = norm_ds[idx]
+        with per_sample_rng(0, 0, idx):
+            img_r, lab_r = raw_ds[idx]
+        assert img_r.min() >= 0.0 and img_r.max() <= 255.0
+        np.testing.assert_array_equal(lab_r, lab_n)
+        np.testing.assert_array_equal((img_r - mean) / std, img_n)
+
+
 def test_native_center_crop_val(hostpipe, png_dataset):
     """crop_type='center' with no augmentation (the val recipe)."""
     from semseg_tpu.data import SemData, transform

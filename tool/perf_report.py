@@ -177,6 +177,12 @@ def section_loader(tmp_root="/tmp/perf_ade"):
         transform.ToTensor(),
         transform.Normalize(mean=mean, std=std),
     ])
+    wire_name = os.environ.get("PERF_WIRE", "float32")
+    wire_uint8 = wire_name == "uint8"
+    if wire_uint8:
+        # uint8 wire: loader emits raw pixels, the step normalizes on
+        # device (mirrors tool/train.py's image_wire_dtype: uint8).
+        train_transform = transform.Compose(train_transform.segtransforms[:-1])
     use_native = os.environ.get("PERF_NATIVE", "0") == "1"
     if use_native:
         from semseg_tpu.data import native
@@ -184,10 +190,15 @@ def section_loader(tmp_root="/tmp/perf_ade"):
         data = native.NativeSemData(
             "train", tmp_root, list_path, crop_h=crop, crop_w=crop,
             mean=mean, std=std, ignore_label=255,
+            normalize=not wire_uint8,
         )
     else:
         data = SemData(split="train", data_root=tmp_root,
                        data_list=list_path, transform=train_transform)
+    if wire_uint8:
+        from semseg_tpu.data import Uint8Wire
+
+        data = Uint8Wire(data)
     workers = int(os.environ.get("PERF_WORKERS", "8"))
     loader = DataLoader(data, batch_size=batch, shuffle=True,
                         num_workers=workers, drop_last=True, seed=1)
@@ -203,20 +214,26 @@ def section_loader(tmp_root="/tmp/perf_ade"):
         model, classes=classes, ignore_label=255, aux_weight=0.4,
         base_lr=0.01, max_iter=100000, power=0.9, momentum=0.9,
         weight_decay=1e-4, zoom_factor=8, num_replicas=1,
+        normalize=(mean, std) if wire_uint8 else None,
     )
     mesh = create_mesh()
     sharding = batch_sharding(mesh)
 
-    wire = np.float16 if os.environ.get("PERF_WIRE") == "float16" else np.float32
+    wire = {"float32": np.float32, "float16": np.float16,
+            "uint8": np.uint8}[wire_name]
 
     def to_global(images, labels):
         # uint8 label wire format (exact; cast to int32 on device) — same
-        # as tool/train.py::to_global; PERF_WIRE=float16 mirrors the
-        # `image_wire_dtype: float16` config key (half the image bytes).
+        # as tool/train.py::to_global; PERF_WIRE mirrors the
+        # `image_wire_dtype` config key (float16 = half the image bytes,
+        # uint8 = quarter + on-device normalize).
         if labels.dtype != np.uint8:
             labels = labels.astype(np.uint8)
         if images.dtype != wire:
-            images = images.astype(wire)
+            if wire_uint8:
+                images = np.clip(np.rint(images), 0.0, 255.0).astype(np.uint8)
+            else:
+                images = images.astype(wire)
         return jax.device_put(images, sharding), jax.device_put(labels, sharding)
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))

@@ -122,6 +122,25 @@ def run(cfg):
     value_scale = 255
     mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
     std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
+
+    # Image wire format (`image_wire_dtype`): float32 (default), float16
+    # (half the host->device bytes), or uint8 (quarter). uint8 ships RAW
+    # [0,255] pixels — host normalization is dropped and the train/eval
+    # steps normalize on device in f32 (IEEE-identical math); the only
+    # numerics change is rounding interpolated pixels to integers
+    # (<= 0.5/255), the same scale as bf16's input truncation.
+    wire_name = cfg.get("image_wire_dtype") or "float32"
+    if wire_name not in ("float32", "float16", "uint8"):
+        raise ValueError(
+            f"image_wire_dtype must be float32/float16/uint8, got {wire_name}")
+    wire_uint8 = wire_name == "uint8"
+    if wire_name != "float32" and dtype_name != "bfloat16":
+        logger.warning(
+            "image_wire_dtype %s with float32 compute quantizes the "
+            "inputs; use only when transfer-bound", wire_name,
+        )
+    device_normalize = (mean, std) if wire_uint8 else None
+
     train_transform = transform.Compose([
         transform.RandScale([cfg.scale_min, cfg.scale_max]),
         transform.RandRotate(
@@ -135,8 +154,7 @@ def run(cfg):
             ignore_label=cfg.ignore_label,
         ),
         transform.ToTensor(),
-        transform.Normalize(mean=mean, std=std),
-    ])
+    ] + ([] if wire_uint8 else [transform.Normalize(mean=mean, std=std)]))
     train_data = None
     if cfg.get("native_loader"):
         # C++/OpenCV fused decode+augment pipeline (csrc/hostpipe.cpp):
@@ -150,6 +168,7 @@ def run(cfg):
                 ignore_label=cfg.ignore_label, crop_type="rand",
                 scale=(cfg.scale_min, cfg.scale_max),
                 rotate=(cfg.rotate_min, cfg.rotate_max),
+                normalize=not wire_uint8,
             )
             logger.info("native (C++) host data pipeline enabled")
         else:
@@ -163,6 +182,13 @@ def run(cfg):
             split="train", data_root=cfg.data_root, data_list=cfg.train_list,
             transform=train_transform,
         )
+    if wire_uint8:
+        # Round to uint8 per sample on the loader's worker threads (cv2
+        # releases the GIL) instead of over the stacked batch in the
+        # main loop.
+        from semseg_tpu.data import Uint8Wire
+
+        train_data = Uint8Wire(train_data)
     host_batch = cfg.batch_size // jax.process_count()
     train_loader = DataLoader(
         train_data, batch_size=host_batch, shuffle=True,
@@ -178,12 +204,15 @@ def run(cfg):
                 ignore_label=cfg.ignore_label,
             ),
             transform.ToTensor(),
-            transform.Normalize(mean=mean, std=std),
-        ])
+        ] + ([] if wire_uint8 else [transform.Normalize(mean=mean, std=std)]))
         val_data = SemData(
             split="val", data_root=cfg.data_root, data_list=cfg.val_list,
             transform=val_transform,
         )
+        if wire_uint8:
+            from semseg_tpu.data import Uint8Wire
+
+            val_data = Uint8Wire(val_data)
         val_loader = DataLoader(
             val_data, batch_size=cfg.batch_size_val // jax.process_count(),
             shuffle=False, num_workers=cfg.workers,
@@ -308,10 +337,11 @@ def run(cfg):
         zoom_factor=cfg.zoom_factor,
         num_replicas=data_parallel,
         rng_seed=cfg.get("manual_seed") or 0,
+        normalize=device_normalize,
     )
     eval_step = make_eval_step(
         model, classes=cfg.classes, ignore_label=cfg.ignore_label,
-        zoom_factor=cfg.zoom_factor,
+        zoom_factor=cfg.zoom_factor, normalize=device_normalize,
     ) if cfg.evaluate else None
 
     writer = _make_writer(cfg.save_path) if is_main else None
@@ -332,25 +362,23 @@ def run(cfg):
     # loader's int64, bit-exact (the train step casts to int32 on device).
     labels_u8 = cfg.classes <= 255 and 0 <= cfg.ignore_label <= 255
 
-    # Optional image wire format (`image_wire_dtype: float16`): halves the
-    # host->device image bytes. Free on the bfloat16 compute path (the
-    # first conv truncates to 8 mantissa bits anyway; f16 keeps 10), but a
-    # real numerics change for the reference-exact float32 recipe — warn.
-    wire_name = cfg.get("image_wire_dtype") or "float32"
-    if wire_name not in ("float32", "float16"):
-        raise ValueError(f"image_wire_dtype must be float32/float16, got {wire_name}")
-    image_wire = np.float16 if wire_name == "float16" else np.float32
-    if image_wire == np.float16 and dtype_name != "bfloat16":
-        logger.warning(
-            "image_wire_dtype float16 with float32 compute quantizes the "
-            "normalized inputs (~5e-4 relative); use only when transfer-bound"
-        )
+    # Image wire conversion (wire_name resolved in the data section above;
+    # float16 halves the image bytes, uint8 quarters them with on-device
+    # normalization — the loader then emits raw [0,255] pixels).
+    image_wire = {
+        "float32": np.float32, "float16": np.float16, "uint8": np.uint8,
+    }[wire_name]
 
     def to_global(images, labels):
         if labels_u8 and labels.dtype != np.uint8:
             labels = labels.astype(np.uint8)
         if images.dtype != image_wire:
-            images = images.astype(image_wire)
+            if wire_uint8:
+                # Interpolated pixels are float; round half-to-even and
+                # clip defensively (augmentation output stays in [0,255]).
+                images = np.clip(np.rint(images), 0.0, 255.0).astype(np.uint8)
+            else:
+                images = images.astype(image_wire)
         if jax.process_count() == 1:
             return (
                 jax.device_put(images, sharding),
