@@ -194,12 +194,19 @@ PyObject* augment(PyObject*, PyObject* args) {
       const float s[3] = {static_cast<float>(std0),
                           static_cast<float>(std1),
                           static_cast<float>(std2)};
-      for (int r = 0; r < fimg.rows; ++r) {
-        float* p = fimg.ptr<float>(r);
-        for (int c = 0; c < fimg.cols; ++c) {
-          for (int k = 0; k < 3; ++k) {
-            float v = p[3 * c + k] - m[k];
-            p[3 * c + k] = has_std ? v / s[k] : v;
+      // Raw-output mode (uint8 wire: mean 0, no std) skips the pass —
+      // subtracting 0 and storing back would cost a full image
+      // read+write per sample on the host's augmentation threads.
+      const bool is_noop =
+          !has_std && mean0 == 0.0 && mean1 == 0.0 && mean2 == 0.0;
+      if (!is_noop) {
+        for (int r = 0; r < fimg.rows; ++r) {
+          float* p = fimg.ptr<float>(r);
+          for (int c = 0; c < fimg.cols; ++c) {
+            for (int k = 0; k < 3; ++k) {
+              float v = p[3 * c + k] - m[k];
+              p[3 * c + k] = has_std ? v / s[k] : v;
+            }
           }
         }
       }

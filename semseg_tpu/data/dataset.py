@@ -123,8 +123,6 @@ class Uint8Wire:
         return len(self.dataset)
 
     def __getitem__(self, index: int):
-        import cv2
-
         image, label = self.dataset[index]
         if image.dtype != np.uint8:
             image = cv2.convertScaleAbs(image)

@@ -39,6 +39,20 @@ from semseg_tpu.ops import resize_bilinear_align_corners
 from semseg_tpu.utils.metrics import intersection_and_union_jax
 
 
+def _device_normalize(images, normalize):
+    """Normalize raw-pixel images on device (the uint8 wire format).
+
+    f32 subtract/divide matching host ``transform.Normalize`` — pinned
+    bit-identical on CPU (tests/test_data.py); on TPU the divide may
+    differ by ~1 ulp, far below the wire format's 0.5/255 quantization.
+    """
+    if normalize is None:
+        return images
+    mean, std = normalize
+    return (images.astype(jnp.float32)
+            - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -102,15 +116,11 @@ def make_train_step(
     ``labels``: [B, H, W] int32/int64 with ignore_label outside.
     ``normalize``: optional (mean, std) 3-vectors — images then arrive as
     RAW pixels (e.g. the uint8 wire format) and are normalized on device
-    in float32, IEEE-identical to the host-side ``transform.Normalize``.
+    (see ``_device_normalize``).
     """
 
     def step_fn(state: TrainState, images, labels):
-        if normalize is not None:
-            mean, std = normalize
-            images = (images.astype(jnp.float32)
-                      - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
-                          std, jnp.float32)
+        images = _device_normalize(images, normalize)
         if zoom_factor != 8:
             # Reference downscales float labels bilinearly (align_corners)
             # when the model emits smaller logits (tool/train.py:262-266).
@@ -190,11 +200,7 @@ def make_eval_step(model, *, classes: int, ignore_label: int, zoom_factor: int,
     eval-mode forward, CE loss, argmax metrics."""
 
     def step_fn(variables, images, labels):
-        if normalize is not None:
-            mean, std = normalize
-            images = (images.astype(jnp.float32)
-                      - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
-                          std, jnp.float32)
+        images = _device_normalize(images, normalize)
         logits = model.apply(variables, images, train=False)
         labels_t = labels.astype(jnp.int32)
         if zoom_factor != 8:

@@ -51,11 +51,14 @@ def validate_arch(cfg):
         raise ValueError("(train_h-1) and (train_w-1) must be multiples of 8")
 
 
-def build_model(cfg, axis_name=None, dtype=jnp.float32):
+def build_model(cfg, axis_name=None, dtype=jnp.float32, data_shards=1):
     """Build the flax model described by ``cfg``.
 
     Returns ``(model, resolved_cfg_updates)`` where updates carry derived
     values (PSA mask dims) the caller may want to record.
+    ``data_shards``: data-axis size of the mesh the model will run on
+    (divides the traced global batch per chip — the PSA fused-kernel auto
+    rule is a per-chip envelope).
     """
     validate_arch(cfg)
     # Optional f32-path speed knob (`matmul_precision: high` = 3-pass
@@ -91,6 +94,7 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32):
             # None = auto (size-aware fused-Pallas/XLA choice, psanet.py);
             # True/False force one path.
             fused_attention=cfg.get("fused_attention"),
+            data_shards=int(data_shards),
             remat=bool(cfg.get("remat") or False),
             axis_name=axis_name,
             dtype=dtype,

@@ -51,15 +51,19 @@ def _on_tpu() -> bool:
 FUSED_ATTENTION_AUTO_LIMIT = 14400
 
 
-def use_fused_attention(fused_attention, n: int, hw: int) -> bool:
+def use_fused_attention(fused_attention, n: int, hw: int,
+                        data_shards: int = 1) -> bool:
     """Resolve the fused-kernel choice for one attention branch.
 
     ``fused_attention``: True/False forces; None = auto (fused on TPU
-    when ``n * hw`` stays within the measured-safe compile envelope).
+    when the PER-CHIP ``n * hw`` stays within the measured-safe compile
+    envelope). ``n`` is the traced (global) batch under GSPMD;
+    ``data_shards`` is the data-axis size that divides it per chip.
     """
     if fused_attention is not None:
         return bool(fused_attention)
-    return _on_tpu() and n * hw <= FUSED_ATTENTION_AUTO_LIMIT
+    per_chip = -(-n // max(1, data_shards))
+    return _on_tpu() and per_chip * hw <= FUSED_ATTENTION_AUTO_LIMIT
 
 
 class PSA(nn.Module):
@@ -72,8 +76,11 @@ class PSA(nn.Module):
     mask_w: int = 59
     normalization_factor: float = 1.0
     psa_softmax: bool = True
-    # None = auto: use the fused Pallas softmax+aggregation kernel on TPU.
+    # None = auto: fused Pallas softmax+aggregation on TPU within the
+    # per-chip compile envelope (see use_fused_attention).
     fused_attention: Optional[bool] = None
+    # Data-axis size dividing the traced global batch per chip (GSPMD).
+    data_shards: int = 1
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -114,7 +121,9 @@ class PSA(nn.Module):
         else:
             a = psa_attention_matrix(y, psa_type, self.mask_h, self.mask_w)
 
-        use_fused = use_fused_attention(self.fused_attention, n, hw)
+        use_fused = use_fused_attention(
+            self.fused_attention, n, hw, self.data_shards
+        )
         x_flat = xr.reshape(n, hw, -1)
         if use_fused and self.psa_softmax:
             # Fused Pallas kernel: softmax(dim=i) + aggregation in VMEM.
@@ -176,6 +185,7 @@ class PSANet(nn.Module):
     normalization_factor: float = 1.0
     psa_softmax: bool = True
     fused_attention: Optional[bool] = None
+    data_shards: int = 1
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -213,6 +223,7 @@ class PSANet(nn.Module):
                 normalization_factor=self.normalization_factor,
                 psa_softmax=self.psa_softmax,
                 fused_attention=self.fused_attention,
+                data_shards=self.data_shards,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name="psa",

@@ -94,6 +94,11 @@ def test_fused_attention_auto_rule_and_config_plumb(monkeypatch):
     assert not use_fused_attention(None, 8, 2025)
     assert use_fused_attention(None, 4, 2025)
     assert 16 * 900 == FUSED_ATTENTION_AUTO_LIMIT
+    # The envelope is PER CHIP: global batch 128 over 8 data shards is
+    # 16/chip — the measured-safe ADE load — so auto stays fused; the
+    # same global batch on 2 shards (64/chip) is not.
+    assert use_fused_attention(None, 128, 900, data_shards=8)
+    assert not use_fused_attention(None, 128, 900, data_shards=2)
     # Explicit override beats auto in both directions.
     assert use_fused_attention(True, 8, 2025)
     assert not use_fused_attention(False, 1, 1)

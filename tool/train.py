@@ -101,7 +101,9 @@ def run(cfg):
         )
     else:
         logger.info("compute dtype: %s", dtype_name)
-    model, updates = build_model(cfg, dtype=compute_dtype)
+    model, updates = build_model(
+        cfg, dtype=compute_dtype, data_shards=data_parallel
+    )
     for k, v in updates.items():
         cfg[k] = v
     if is_main:
@@ -126,9 +128,9 @@ def run(cfg):
     # Image wire format (`image_wire_dtype`): float32 (default), float16
     # (half the host->device bytes), or uint8 (quarter). uint8 ships RAW
     # [0,255] pixels — host normalization is dropped and the train/eval
-    # steps normalize on device in f32 (IEEE-identical math); the only
-    # numerics change is rounding interpolated pixels to integers
-    # (<= 0.5/255), the same scale as bf16's input truncation.
+    # steps normalize on device in f32 (bit-identical on CPU, ~1 ulp on
+    # TPU); the real numerics change is rounding interpolated pixels to
+    # integers (<= 0.5/255), the same scale as bf16's input truncation.
     wire_name = cfg.get("image_wire_dtype") or "float32"
     if wire_name not in ("float32", "float16", "uint8"):
         raise ValueError(
