@@ -39,6 +39,22 @@ from semseg_tpu.ops import resize_bilinear_align_corners
 from semseg_tpu.utils.metrics import intersection_and_union_jax
 
 
+def downscale_labels(labels, zoom_factor: int):
+    """Label downscale for ``zoom_factor != 8`` recipes.
+
+    Mirrors the reference exactly (``tool/train.py:262-266``): float
+    labels are bilinearly resized with align_corners to the logits grid
+    ``(H-1)//8*zoom+1`` and truncated back to integers (torch ``.long()``
+    truncates toward zero, as does this astype).
+    """
+    h = (labels.shape[1] - 1) // 8 * zoom_factor + 1
+    w = (labels.shape[2] - 1) // 8 * zoom_factor + 1
+    lab_f = resize_bilinear_align_corners(
+        labels.astype(jnp.float32)[..., None], (h, w)
+    )[..., 0]
+    return lab_f.astype(jnp.int32)
+
+
 def _device_normalize(images, normalize):
     """Normalize raw-pixel images on device (the uint8 wire format).
 
@@ -122,14 +138,7 @@ def make_train_step(
     def step_fn(state: TrainState, images, labels):
         images = _device_normalize(images, normalize)
         if zoom_factor != 8:
-            # Reference downscales float labels bilinearly (align_corners)
-            # when the model emits smaller logits (tool/train.py:262-266).
-            h = (labels.shape[1] - 1) // 8 * zoom_factor + 1
-            w = (labels.shape[2] - 1) // 8 * zoom_factor + 1
-            lab_f = resize_bilinear_align_corners(
-                labels.astype(jnp.float32)[..., None], (h, w)
-            )[..., 0]
-            labels_t = lab_f.astype(jnp.int32)
+            labels_t = downscale_labels(labels, zoom_factor)
         else:
             labels_t = labels.astype(jnp.int32)
 

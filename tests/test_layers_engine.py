@@ -160,6 +160,27 @@ def test_poly_lr_schedule():
 # ---------------------------------------------------------------------------
 # losses
 # ---------------------------------------------------------------------------
+@pytest.mark.parametrize("zoom", [1, 2, 4])
+def test_downscale_labels_matches_torch(rng, zoom):
+    """zoom_factor != 8 label downscale == the reference's
+    F.interpolate(float labels, bilinear, align_corners=True).long()
+    (reference tool/train.py:262-266), including ignore-label pixels."""
+    from semseg_tpu.engine.trainer import downscale_labels
+
+    labels = rng.randint(0, 5, size=(2, 25, 33)).astype(np.int64)
+    labels[0, :4, :6] = 255
+    got = np.asarray(downscale_labels(jnp.asarray(labels), zoom))
+    h = (25 - 1) // 8 * zoom + 1
+    w = (33 - 1) // 8 * zoom + 1
+    want = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(labels).unsqueeze(1).float(),
+            size=(h, w), mode="bilinear", align_corners=True,
+        ).squeeze(1).long().numpy()
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_nll_per_pixel_matches_torch(rng):
     """Per-pixel NLL (logsumexp-dot form) == torch CE reduction='none',
     including gradient equality — guards the TPU-friendly reformulation
