@@ -68,7 +68,7 @@ EXTENSION_KEYS = frozenset({
     "pretrained", "initmodel", "compute_dtype", "model_parallel",
     "native_loader", "eval_pipeline", "window_batch", "profile_dir",
     "remat", "image", "allow_random_weights", "image_wire_dtype",
-    "eval_bucket", "matmul_precision", "fused_attention",
+    "eval_bucket", "matmul_precision", "fused_attention", "async_save",
 })
 
 

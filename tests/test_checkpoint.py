@@ -41,6 +41,49 @@ def test_save_restore_round_trip(tmp_path):
     )
 
 
+def test_async_save_round_trip_and_donation_safety(tmp_path):
+    """save_checkpoint_async snapshots on device before returning: even
+    if the caller's buffers are then DONATED to a jit (as every train
+    step does), the written checkpoint holds the pre-donation values."""
+    import jax
+
+    state = _state()
+    orig = np.asarray(state.params["backbone"]["w"]).copy()
+    path = ckpt.save_checkpoint_async(str(tmp_path), 3, state)
+    # Donate the original param buffer while the save is in flight.
+    donated = jax.jit(lambda x: x * 0.0, donate_argnums=0)(
+        state.params["backbone"]["w"]
+    )
+    np.testing.assert_array_equal(np.asarray(donated), np.zeros((3, 4)))
+    ckpt.wait_pending()
+    payload = ckpt.restore_checkpoint(path)
+    assert payload["epoch"] == 3 and int(payload["step"]) == 7
+    np.testing.assert_array_equal(payload["params"]["backbone"]["w"], orig)
+
+
+def test_async_save_error_surfaces_on_wait(tmp_path, monkeypatch):
+    class Boom:
+        def save(self, *a, **k):
+            raise RuntimeError("disk full")
+
+    monkeypatch.setattr(ckpt, "_checkpointer", lambda: Boom())
+    ckpt.save_checkpoint_async(str(tmp_path), 1, _state())
+    with pytest.raises(RuntimeError, match="disk full"):
+        ckpt.wait_pending()
+    ckpt.wait_pending()  # error consumed; subsequent waits are clean
+
+
+def test_async_save_retention_matches_sync(tmp_path):
+    state = _state()
+    for epoch in range(1, 6):
+        ckpt.save_checkpoint_async(
+            str(tmp_path), epoch, state, save_freq=1, keep=2
+        )
+    ckpt.wait_pending()
+    existing = sorted(os.listdir(tmp_path))
+    assert existing == ["train_epoch_4.ckpt", "train_epoch_5.ckpt"]
+
+
 def test_rolling_retention_keeps_two(tmp_path):
     state = _state()
     for epoch in range(1, 6):

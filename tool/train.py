@@ -414,6 +414,9 @@ def run(cfg):
             if profile_dir and is_main:
                 jax.profiler.stop_trace()
             if is_main:
+                # A preemption snapshot must not race an in-flight
+                # async epoch save (it would delete the preempt dir).
+                ckpt.wait_pending()
                 path = ckpt.save_preempt_checkpoint(
                     cfg.save_path, epoch, state
                 )
@@ -424,9 +427,17 @@ def run(cfg):
                 writer.add_scalar(f"{key}_train", stats[key], epoch_log)
 
         if epoch_log % cfg.save_freq == 0 and is_main:
-            path = ckpt.save_checkpoint(
-                cfg.save_path, epoch_log, state, cfg.save_freq
-            )
+            # async (default): snapshot on device and let a worker thread
+            # run the device_get + orbax write while the next epoch
+            # trains; `async_save: False` restores blocking saves.
+            if cfg.get("async_save", True):
+                path = ckpt.save_checkpoint_async(
+                    cfg.save_path, epoch_log, state, cfg.save_freq
+                )
+            else:
+                path = ckpt.save_checkpoint(
+                    cfg.save_path, epoch_log, state, cfg.save_freq
+                )
             logger.info("Saving checkpoint to: %s", path)
 
         if cfg.evaluate and val_loader is not None:
@@ -440,6 +451,8 @@ def run(cfg):
         if profile_dir and is_main and epoch == start_epoch:
             jax.profiler.stop_trace()
             profile_dir = None
+    if is_main:
+        ckpt.wait_pending()  # surface async-save errors before returning
     return state
 
 
