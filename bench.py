@@ -96,9 +96,11 @@ def main():
     # Median of several timed windows: the tunneled link's bandwidth
     # fluctuates (measured 15-45 MB/s over minutes, with transient stalls);
     # the median window resists a stall poisoning the whole measurement.
+    # 7 windows (up from round 2's 3) make the median robust to two
+    # stalled windows — r02's capture lost 24% to exactly that.
     # Async dispatch pipelines upload/compute/readback across images.
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "7"))
     window_rates = []
     for _ in range(n_windows):
         start = time.perf_counter()
@@ -109,12 +111,14 @@ def main():
         window_rates.append(n_iters / elapsed)
     images_per_sec = float(np.median(window_rates))
 
+    spread = (max(window_rates) - min(window_rates)) / images_per_sec
     print(json.dumps({
         "metric": "cityscapes_1024x2048_ss_inference_pspnet50",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "windows": [round(r, 3) for r in window_rates],
+        "window_spread": round(spread, 3),
         "input": input_kind,
     }))
 

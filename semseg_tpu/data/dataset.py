@@ -125,5 +125,14 @@ class Uint8Wire:
     def __getitem__(self, index: int):
         image, label = self.dataset[index]
         if image.dtype != np.uint8:
+            # convertScaleAbs takes |x| before saturating, which would
+            # silently flip negatives (e.g. a Normalize accidentally left
+            # in the chain) to positive magnitudes — fail loudly instead.
+            lo = image.min()
+            if lo < 0:
+                raise ValueError(
+                    f"Uint8Wire expects raw [0,255] pixels, got min {lo}: "
+                    "is Normalize still in the transform chain?"
+                )
             image = cv2.convertScaleAbs(image)
         return image, label

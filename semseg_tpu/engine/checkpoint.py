@@ -30,6 +30,20 @@ import numpy as np
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # Saves here are rank-0-only with a host-local numpy payload
+        # (reference semantics, tool/train.py:231-234). orbax's default
+        # Checkpointer barriers across ALL processes inside save() — a
+        # deadlock when the other ranks never call it. Restrict its
+        # coordination to the calling process; the payload is already
+        # device_get numpy, so no cross-host shards are involved.
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 
@@ -73,61 +87,85 @@ def save_checkpoint(save_path: str, epoch: int, state, save_freq: int = 1,
 # training continues. wait_pending() joins the in-flight save (called
 # automatically before the next save; the driver also joins before
 # preemption snapshots and at run end) and re-raises any worker error.
+#
+# Multi-host runs fall back to the synchronous path: the on-device
+# jax.numpy.copy is an eager op, and on state replicated over a global
+# mesh with non-addressable devices eager ops raise (jax.device_get of
+# fully-replicated arrays, which the sync path uses, is fine).
 # ---------------------------------------------------------------------------
 
-_pending_save: Optional[threading.Thread] = None
-_pending_error: list = []
+
+class AsyncSaver:
+    """One in-flight async checkpoint save. Instances are independent, so
+    concurrent trainers can each own a saver without sharing state."""
+
+    def __init__(self):
+        self._pending: Optional[threading.Thread] = None
+        self._error: list = []
+
+    def wait_pending(self) -> None:
+        """Join the in-flight save, re-raising its error if it failed."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._error:
+            raise self._error.pop()
+
+    def save_async(self, save_path: str, epoch: int, state,
+                   save_freq: int = 1, keep: int = 2) -> str:
+        """Like save_checkpoint, but returns as soon as the state is
+        snapshotted on device; transfer + write happen on a worker
+        thread. Multi-host processes take the sync path (see above)."""
+        self.wait_pending()
+        if jax.process_count() > 1:
+            return save_checkpoint(save_path, epoch, state, save_freq, keep)
+        snap_step = np.asarray(state.step)
+        snap = jax.tree.map(
+            jax.numpy.copy,
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "momentum": state.opt.momentum},
+        )
+        path = checkpoint_path(save_path, epoch)
+        error = self._error
+
+        def worker():
+            try:
+                payload = {
+                    "epoch": epoch,
+                    "step": snap_step,
+                    "params": jax.device_get(snap["params"]),
+                    "batch_stats": jax.device_get(snap["batch_stats"]),
+                    "momentum": jax.device_get(snap["momentum"]),
+                }
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                _checkpointer().save(path, payload)
+                old = epoch - save_freq * keep
+                old_path = checkpoint_path(save_path, old)
+                if old > 0 and os.path.exists(old_path):
+                    shutil.rmtree(old_path)
+                preempt = preempt_checkpoint_path(save_path)
+                if os.path.exists(preempt):
+                    shutil.rmtree(preempt)
+            except BaseException as exc:  # surfaced by wait_pending()
+                error.append(exc)
+
+        self._pending = threading.Thread(target=worker, daemon=True)
+        self._pending.start()
+        return path
+
+
+_default_saver = AsyncSaver()
 
 
 def wait_pending() -> None:
-    """Join the in-flight async save, re-raising its error if it failed."""
-    global _pending_save
-    if _pending_save is not None:
-        _pending_save.join()
-        _pending_save = None
-    if _pending_error:
-        raise _pending_error.pop()
+    """Join the default saver's in-flight save (module-level API)."""
+    _default_saver.wait_pending()
 
 
 def save_checkpoint_async(save_path: str, epoch: int, state,
                           save_freq: int = 1, keep: int = 2) -> str:
-    """Like save_checkpoint, but returns as soon as the state is
-    snapshotted on device; transfer + write happen on a worker thread."""
-    wait_pending()
-    snap_step = np.asarray(state.step)
-    snap = jax.tree.map(
-        jax.numpy.copy,
-        {"params": state.params, "batch_stats": state.batch_stats,
-         "momentum": state.opt.momentum},
-    )
-    path = checkpoint_path(save_path, epoch)
-
-    def worker():
-        try:
-            payload = {
-                "epoch": epoch,
-                "step": snap_step,
-                "params": jax.device_get(snap["params"]),
-                "batch_stats": jax.device_get(snap["batch_stats"]),
-                "momentum": jax.device_get(snap["momentum"]),
-            }
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            _checkpointer().save(path, payload)
-            old = epoch - save_freq * keep
-            old_path = checkpoint_path(save_path, old)
-            if old > 0 and os.path.exists(old_path):
-                shutil.rmtree(old_path)
-            preempt = preempt_checkpoint_path(save_path)
-            if os.path.exists(preempt):
-                shutil.rmtree(preempt)
-        except BaseException as exc:  # surfaced by wait_pending()
-            _pending_error.append(exc)
-
-    global _pending_save
-    _pending_save = threading.Thread(target=worker, daemon=True)
-    _pending_save.start()
-    return path
+    return _default_saver.save_async(save_path, epoch, state, save_freq, keep)
 
 
 def preempt_checkpoint_path(save_path: str) -> str:
@@ -221,6 +259,19 @@ def load_pretrained_backbone(state, layers: int, path: str):
         batch_stats=jax.tree.map(np.asarray, batch_stats),
     )
     return new_state, [k for k in unused if not k.startswith("fc.")]
+
+
+def export_pth(ckpt_path: str, out_path: str, arch: str, layers: int) -> str:
+    """Export a native checkpoint directory to a reference-consumable
+    torch ``.pth`` (inverse of the ``.pth`` load path; the reference test
+    driver loads it directly, ``tool/test.py:107-116``)."""
+    from semseg_tpu.models.convert import export_pth as _export
+
+    payload = restore_checkpoint(ckpt_path)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    return _export(out_path, variables, arch, layers,
+                   epoch=int(payload.get("epoch", 0)))
 
 
 def load_model_variables(path: str, arch: str, layers: int) -> dict:

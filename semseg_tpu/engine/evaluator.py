@@ -121,6 +121,15 @@ class SlidingWindowEvaluator:
         self.mode = mode
         self._forward = jax.jit(self._forward_impl)
         self._scale_fns = {}
+        # Cross-scale combiners run as ONE program each: summing K
+        # [H,W,C] prob maps op-by-op would dispatch K separate HBM
+        # round-trips (and a relay RTT per op when remote).
+        self._combine_mean = jax.jit(
+            lambda ps: sum(ps[1:], ps[0]) / len(ps)
+        )
+        self._combine_argmax = jax.jit(
+            lambda ps: jnp.argmax(sum(ps[1:], ps[0]), axis=-1).astype(jnp.uint8)
+        )
         self._bucketed = None
         if mode == "device_bucketed":
             from semseg_tpu.engine.bucketed import BucketedPipeline
@@ -241,18 +250,23 @@ class SlidingWindowEvaluator:
 
         return jax.jit(scale_fn)
 
-    def _predict_probs_device(self, image: np.ndarray):
+    def _scale_probs_device(self, image: np.ndarray):
+        """Dispatch every scale's program; returns the list of lazy
+        per-scale prob maps (uploads the image once)."""
         h, w, _ = image.shape
         # Keep uint8 images uint8 for the transfer; cast happens on device.
         img = jnp.asarray(image)
-        total = None
+        probs = []
         for scale in self.scales:
             key = (h, w, scale)
             if key not in self._scale_fns:
                 self._scale_fns[key] = self._build_scale_fn(h, w, scale)
-            probs = self._scale_fns[key](self.variables, img)
-            total = probs if total is None else total + probs
-        return total / len(self.scales)
+            probs.append(self._scale_fns[key](self.variables, img))
+        return probs
+
+    def _predict_probs_device(self, image: np.ndarray):
+        probs = self._scale_probs_device(image)
+        return probs[0] if len(probs) == 1 else self._combine_mean(probs)
 
     # ------------------------------------------------------------------
     # host mode (reference-faithful cv2/numpy stitching)
@@ -365,8 +379,9 @@ class SlidingWindowEvaluator:
                         h, w, self.scales[0], emit_argmax=True
                     )
                 return self._scale_fns[key](self.variables, jnp.asarray(image))
-            probs = self._predict_probs_device(image)
-            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            # ms: per-scale programs + one fused sum/argmax program — all
+            # async dispatches, so callers can pipeline across images.
+            return self._combine_argmax(self._scale_probs_device(image))
         if self.mode == "device_bucketed":
             probs, (h, w) = self._bucketed.predict_probs(image)
             return jnp.argmax(probs, axis=-1).astype(jnp.uint8)[:h, :w]

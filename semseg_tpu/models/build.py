@@ -64,9 +64,14 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32, data_shards=1):
     # Optional f32-path speed knob (`matmul_precision: high` = 3-pass
     # bfloat16 decomposition on the MXU; default 'highest' = exact f32,
     # the reference-numerics contract). No effect under bf16 compute.
-    from semseg_tpu.models.layers import set_precision_override
+    from semseg_tpu.models.layers import set_bn_groups, set_precision_override
 
     set_precision_override(cfg.get("matmul_precision"))
+    # `sync_bn: False` = the reference's per-GPU BatchNorm2d under DDP
+    # (reference tool/train.py:141-142 converts to SyncBN only when set):
+    # each data-parallel replica group normalizes with its own local-batch
+    # moments. Default True = global-batch moments (SyncBN under GSPMD).
+    set_bn_groups(1 if cfg.get("sync_bn", True) else max(1, int(data_shards)))
     updates = {}
     if cfg.arch == "psp":
         model = PSPNet(
@@ -80,6 +85,11 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32, data_shards=1):
     else:
         mask_h, mask_w = derive_psa_mask_dims(cfg)
         updates["mask_h"], updates["mask_w"] = mask_h, mask_w
+        # An empty normalization_factor defaults to mask_h*mask_w
+        # (reference model/psanet.py:20-22).
+        norm = cfg.get("normalization_factor")
+        if norm is None:
+            norm = float(mask_h * mask_w)
         model = PSANet(
             layers=cfg.layers,
             classes=cfg.classes,
@@ -89,7 +99,7 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32, data_shards=1):
             shrink_factor=cfg.shrink_factor,
             mask_h=mask_h,
             mask_w=mask_w,
-            normalization_factor=cfg.normalization_factor,
+            normalization_factor=norm,
             psa_softmax=bool(cfg.psa_softmax),
             # None = auto (size-aware fused-Pallas/XLA choice, psanet.py);
             # True/False force one path.

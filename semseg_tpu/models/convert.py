@@ -171,3 +171,124 @@ def load_torch_checkpoint(path: str):
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         return ckpt["state_dict"]
     return ckpt
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax variables -> reference torch state_dict.
+#
+# Closes the interop loop: reference checkpoints already load here; this
+# lets checkpoints trained HERE be consumed by the reference tools
+# (``/root/reference/tool/test.py:107-116`` expects a torch ``.pth`` whose
+# DDP-saved keys carry a ``module.`` prefix and loads strict=False).
+# ---------------------------------------------------------------------------
+
+
+def _conv_back(kernel) -> np.ndarray:
+    """HWIO -> OIHW."""
+    return np.ascontiguousarray(np.asarray(kernel).transpose(3, 2, 0, 1))
+
+
+class _Emitter:
+    def __init__(self, params, stats, prefix="module."):
+        self.params = params
+        self.stats = stats
+        self.prefix = prefix
+        self.out = {}
+
+    def _get(self, tree, path):
+        node = tree
+        for key in path:
+            node = node[key]
+        return np.asarray(node, dtype=np.float32)
+
+    def convbn(self, ours_path, torch_conv, torch_bn):
+        self.out[f"{self.prefix}{torch_conv}.weight"] = _conv_back(
+            self._get(self.params, ours_path + ("conv", "kernel"))
+        )
+        self.out[f"{self.prefix}{torch_bn}.weight"] = self._get(
+            self.params, ours_path + ("bn", "scale"))
+        self.out[f"{self.prefix}{torch_bn}.bias"] = self._get(
+            self.params, ours_path + ("bn", "bias"))
+        self.out[f"{self.prefix}{torch_bn}.running_mean"] = self._get(
+            self.stats, ours_path + ("bn", "mean"))
+        self.out[f"{self.prefix}{torch_bn}.running_var"] = self._get(
+            self.stats, ours_path + ("bn", "var"))
+        self.out[f"{self.prefix}{torch_bn}.num_batches_tracked"] = np.asarray(
+            0, dtype=np.int64)
+
+    def head(self, ours_name, torch_name):
+        if ours_name not in self.params:
+            return
+        self.convbn((ours_name, "cb"), f"{torch_name}.0", f"{torch_name}.1")
+        self.out[f"{self.prefix}{torch_name}.4.weight"] = _conv_back(
+            self._get(self.params, (ours_name, "conv_logits", "kernel")))
+        self.out[f"{self.prefix}{torch_name}.4.bias"] = self._get(
+            self.params, (ours_name, "conv_logits", "bias"))
+
+
+def export_torch_state_dict(variables, arch: str, layers: int,
+                            ddp_prefix: bool = True):
+    """Map ``{"params", "batch_stats"}`` onto the reference seg-model
+    state_dict naming (``model/pspnet.py`` / ``model/psanet.py`` module
+    tree, DDP ``module.``-prefixed by default like reference-trained
+    checkpoints). Returns ``{name: np.ndarray}``."""
+    em = _Emitter(variables["params"], variables["batch_stats"],
+                  prefix="module." if ddp_prefix else "")
+    backbone = variables["params"]["backbone"]
+    stem = [("stem_cb1", "layer0.0", "layer0.1"),
+            ("stem_cb2", "layer0.3", "layer0.4"),
+            ("stem_cb3", "layer0.6", "layer0.7")]
+    for name, torch_conv, torch_bn in stem:
+        if name in backbone:
+            em.convbn(("backbone", name), torch_conv, torch_bn)
+    for stage, blocks in enumerate(_BLOCK_COUNTS[layers], start=1):
+        for b in range(blocks):
+            ours = ("backbone", f"layer{stage}_block{b}")
+            block = backbone[f"layer{stage}_block{b}"]
+            n_convs = 3 if "cb3" in block else 2
+            for ci in range(1, n_convs + 1):
+                em.convbn(ours + (f"cb{ci}",), f"layer{stage}.{b}.conv{ci}",
+                          f"layer{stage}.{b}.bn{ci}")
+            if "downsample" in block:
+                em.convbn(ours + ("downsample",), f"layer{stage}.{b}.downsample.0",
+                          f"layer{stage}.{b}.downsample.1")
+
+    if arch == "psp":
+        for i in range(4):
+            em.convbn(("ppm", f"branch{i}"), f"ppm.features.{i}.1",
+                      f"ppm.features.{i}.2")
+    elif arch == "psa":
+        psa = variables["params"]["psa"]
+        if "reduce" in psa:
+            em.convbn(("psa", "reduce"), "psa.reduce.0", "psa.reduce.1")
+        if "reduce_p" in psa:
+            em.convbn(("psa", "reduce_p"), "psa.reduce_p.0", "psa.reduce_p.1")
+        for suffix, torch_name in (("", "psa.attention"),
+                                   ("_p", "psa.attention_p")):
+            if f"attention{suffix}_cb" in psa:
+                em.convbn(("psa", f"attention{suffix}_cb"),
+                          f"{torch_name}.0", f"{torch_name}.1")
+                em.out[f"{em.prefix}{torch_name}.3.weight"] = _conv_back(
+                    em._get(em.params,
+                            ("psa", f"attention{suffix}_conv", "kernel")))
+        em.convbn(("psa", "proj"), "psa.proj.0", "psa.proj.1")
+    else:
+        raise ValueError(arch)
+
+    em.head("cls", "cls")
+    em.head("aux", "aux")
+    return em.out
+
+
+def export_pth(path: str, variables, arch: str, layers: int,
+               epoch: int = 0) -> str:
+    """Write a reference-consumable ``.pth`` checkpoint
+    (``{"epoch", "state_dict"}``, DDP-prefixed keys)."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(variables, arch, layers).items()
+    }
+    torch.save({"epoch": int(epoch), "state_dict": sd}, path)
+    return path

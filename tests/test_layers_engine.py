@@ -105,6 +105,119 @@ def test_syncbn_equals_big_batch_under_gspmd(rng):
     )
 
 
+def test_grouped_bn_matches_per_gpu_torch(rng):
+    """groups=G (the `sync_bn: False` path) must equal torch BatchNorm2d
+    run independently per group — the reference's per-GPU BN under DDP —
+    with running stats tracking group 0 (DDP broadcast_buffers keeps rank
+    0's buffers as the surviving estimate)."""
+    n, h, w, c, g = 8, 5, 4, 3, 4
+    x = rng.randn(n, h, w, c).astype(np.float32)
+    weight = rng.rand(c).astype(np.float32) + 0.5
+    bias = rng.randn(c).astype(np.float32)
+    rmean = rng.randn(c).astype(np.float32)
+    rvar = rng.rand(c).astype(np.float32) + 0.5
+
+    bn = BatchNorm(groups=g)
+    variables = {
+        "params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)},
+        "batch_stats": {"mean": jnp.asarray(rmean), "var": jnp.asarray(rvar)},
+    }
+    y, mutated = bn.apply(
+        variables, jnp.asarray(x), use_running_average=False,
+        mutable=["batch_stats"],
+    )
+    want = np.empty_like(x)
+    per = n // g
+    for gi in range(g):
+        sl = slice(gi * per, (gi + 1) * per)
+        want[sl], m0, v0 = _torch_bn_step(
+            x[sl], weight, bias, rmean.copy(), rvar.copy(), train=True
+        )
+        if gi == 0:
+            want_mean, want_var = m0, v0
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]), want_mean,
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]), want_var,
+        rtol=1e-5, atol=1e-6,
+    )
+    # And it must actually differ from sync (global-batch) BN.
+    y_sync, _ = BatchNorm().apply(
+        variables, jnp.asarray(x), use_running_average=False,
+        mutable=["batch_stats"],
+    )
+    assert np.abs(np.asarray(y_sync) - np.asarray(y)).max() > 1e-4
+
+
+def test_grouped_bn_gspmd_sharded_matches_unsharded(rng):
+    """Per-group BN under GSPMD batch sharding (one group per replica)
+    equals the unsharded computation — sync off stays replica-local."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semseg_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()  # 8 virtual CPU devices
+    n, h, w, c = 16, 4, 4, 3
+    x = rng.randn(n, h, w, c).astype(np.float32)
+    bn = BatchNorm(groups=8)
+    variables = {
+        "params": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+        "batch_stats": {"mean": jnp.zeros(c), "var": jnp.ones(c)},
+    }
+
+    def fwd(v, xs):
+        return bn.apply(v, xs, use_running_average=False, mutable=["batch_stats"])
+
+    y_ref, stats_ref = jax.jit(fwd)(variables, jnp.asarray(x))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_sharded, stats_sharded = jax.jit(fwd)(variables, xs)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_sharded["batch_stats"]["mean"]),
+        np.asarray(stats_ref["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.slow
+def test_sync_bn_config_switch(rng):
+    """build_model honors `sync_bn`: False switches every BN in the model
+    to per-replica-group moments (reference tool/train.py:141-142)."""
+    from semseg_tpu.config import Config
+    from semseg_tpu.models.build import build_model
+    from semseg_tpu.models.layers import set_bn_groups
+
+    base = dict(
+        arch="psp", layers=50, classes=3, zoom_factor=8, train_h=33,
+        train_w=33,
+    )
+    x = rng.randn(4, 33, 33, 3).astype(np.float32)
+    try:
+        outs = {}
+        for sync in (True, False):
+            model, _ = build_model(
+                Config({**base, "sync_bn": sync}), data_shards=4
+            )
+            variables = jax.jit(
+                lambda r, xs, m=model: m.init(
+                    {"params": r, "dropout": r}, xs, train=True
+                )
+            )(jax.random.PRNGKey(0), jnp.asarray(x))
+            (logits, _aux), _ = model.apply(
+                variables, jnp.asarray(x), train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            outs[sync] = np.asarray(logits)
+        assert np.abs(outs[True] - outs[False]).max() > 1e-5
+    finally:
+        set_bn_groups(1)  # don't leak the ambient override into other tests
+
+
 # ---------------------------------------------------------------------------
 # SGD
 # ---------------------------------------------------------------------------

@@ -86,6 +86,37 @@ _WORKER = textwrap.dedent(
             break
     assert stopped_at == 2, stopped_at
 
+    # Async epoch save under multi-host: state lives as global arrays
+    # replicated over a mesh with non-addressable devices. The async
+    # saver must fall back to the sync path (eager on-device copies of
+    # such arrays raise) and still produce a loadable checkpoint.
+    from semseg_tpu.engine import checkpoint as ckpt
+    from semseg_tpu.engine.optim import SGDState
+    from semseg_tpu.engine.trainer import TrainState
+    rep = NamedSharding(mesh, P())
+    w = jax.make_array_from_process_local_data(
+        rep, np.arange(6, dtype=np.float32).reshape(2, 3)
+    )
+    mom = jax.make_array_from_process_local_data(
+        rep, np.zeros((2, 3), np.float32)
+    )
+    state = TrainState(
+        params={"backbone": {"w": w}},
+        batch_stats={},
+        opt=SGDState(momentum={"backbone": {"w": mom}}),
+        step=jnp.asarray(7, jnp.int32),
+    )
+    save_dir = os.path.join(os.environ["SEMSEG_TMP"], "mh_ckpt")
+    if pid == 0:
+        path = ckpt.save_checkpoint_async(save_dir, 1, state)
+        ckpt.wait_pending()
+        payload = ckpt.restore_checkpoint(path)
+        np.testing.assert_array_equal(
+            payload["params"]["backbone"]["w"],
+            np.arange(6, dtype=np.float32).reshape(2, 3),
+        )
+        assert int(payload["step"]) == 7
+
     print("MULTIHOST_OK", pid, flush=True)
     """
 )
@@ -105,6 +136,7 @@ def test_two_process_distributed(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env["SEMSEG_REPO"] = REPO
+    env["SEMSEG_TMP"] = str(tmp_path)
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), str(port)],
@@ -114,9 +146,15 @@ def test_two_process_distributed(tmp_path):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"MULTIHOST_OK {pid}" in out

@@ -119,6 +119,53 @@ def test_psanet50_eval_parity(reference_models, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("psa_type", [0, 1])
+def test_psanet_single_direction_parity(reference_models, rng, psa_type):
+    """psa_type=0 (collect) and 1 (distribute) full-model paths vs torch
+    (reference ``model/psanet.py:53-98`` single-branch modes)."""
+    from model.psanet import PSANet as TorchPSANet
+
+    from semseg_tpu.models import PSANet
+
+    mask_h = mask_w = 5
+    kwargs = dict(
+        layers=50, classes=7, zoom_factor=8, psa_type=psa_type,
+        compact=False, shrink_factor=2, mask_h=mask_h, mask_w=mask_w,
+        normalization_factor=1.0, psa_softmax=True,
+    )
+    torch_model = TorchPSANet(pretrained=False, **kwargs)
+    x = rng.randn(1, 3, 33, 33).astype(np.float32)
+    got, want = _convert_and_run(
+        torch_model, "psa", 50, x, PSANet(**kwargs)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_psanet_compact_parity(reference_models, rng):
+    """compact=True: channels directly index absolute positions via the
+    reference's transpose-view (``model/psanet.py:63-66,82-83``) — the
+    trickiest pure-reshape path, asserted against torch end to end."""
+    from model.psanet import PSANet as TorchPSANet
+
+    from semseg_tpu.models import PSANet
+
+    # compact mode: mask dims are the (shrunk) feature extent itself
+    # (reference tool/train.py:66-70): 33x33 -> feat 5 -> shrink 2 -> 3.
+    kwargs = dict(
+        layers=50, classes=7, zoom_factor=8, psa_type=2,
+        compact=True, shrink_factor=2, mask_h=3, mask_w=3,
+        normalization_factor=1.0, psa_softmax=True,
+    )
+    torch_model = TorchPSANet(pretrained=False, **kwargs)
+    x = rng.randn(1, 3, 33, 33).astype(np.float32)
+    got, want = _convert_and_run(
+        torch_model, "psa", 50, x, PSANet(**kwargs)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_pspnet101_eval_parity(reference_models, rng):
     """Covers the 101-depth block-count table in the converter."""
     from model.pspnet import PSPNet as TorchPSPNet
@@ -134,6 +181,52 @@ def test_pspnet101_eval_parity(reference_models, rng):
         PSPNet(layers=101, classes=5, zoom_factor=8),
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_export_pth_round_trip(reference_models, rng, tmp_path):
+    """Interop in the reverse direction: OUR variables -> ``.pth`` ->
+    reference torch model forward parity. strict=True load pins the exact
+    reference key naming (``model/pspnet.py`` module tree)."""
+    from model.pspnet import PSPNet as TorchPSPNet
+
+    from semseg_tpu.models import PSPNet
+    from semseg_tpu.models.convert import export_pth, export_torch_state_dict
+
+    model = PSPNet(layers=50, classes=11, zoom_factor=8)
+    x = rng.randn(1, 33, 33, 3).astype(np.float32)
+    rng_key = jax.random.PRNGKey(3)
+    variables = jax.jit(
+        lambda r, xs: model.init({"params": r, "dropout": r}, xs, train=True)
+    )(rng_key, jnp.asarray(x))
+
+    ours = np.asarray(
+        jax.jit(lambda v, xs: model.apply(v, xs, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+
+    torch_model = TorchPSPNet(
+        layers=50, classes=11, zoom_factor=8, pretrained=False
+    )
+    sd = export_torch_state_dict(variables, "psp", 50, ddp_prefix=False)
+    missing, unexpected = torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    torch_model.eval()
+    with torch.no_grad():
+        want = torch_model(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
+
+    # File format: DDP-prefixed .pth the reference test driver loads
+    # (tool/test.py:107-116 creates DataParallel then strict=False load).
+    path = export_pth(str(tmp_path / "ours.pth"), variables, "psp", 50, epoch=5)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 5
+    assert all(k.startswith("module.") for k in ckpt["state_dict"])
 
 
 def test_imagenet_resnet_converter(reference_models, rng):

@@ -324,8 +324,60 @@ def section_eval():
         )
 
 
+def section_eval_ms():
+    """Cityscapes 1024x2048 multi-scale (6 scales + flip, the reference's
+    ms protocol) sliding-window eval, device mode, cross-image pipelined
+    via predict_async (the tool/test.py driver path)."""
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+    from semseg_tpu.models import PSPNet
+
+    model = PSPNet(layers=50, classes=19, zoom_factor=8, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x, train=False)
+    )(rng, jnp.zeros((1, 713, 713, 3), jnp.float32))
+    value_scale = 255
+    mean = [m * value_scale for m in (0.485, 0.456, 0.406)]
+    std = [s * value_scale for s in (0.229, 0.224, 0.225)]
+    demo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "figure", "demo", "ADE_val_00001515.jpg")
+    bgr = cv2.imread(demo, cv2.IMREAD_COLOR)
+    image = cv2.cvtColor(
+        cv2.resize(bgr, (2048, 1024), interpolation=cv2.INTER_LINEAR),
+        cv2.COLOR_BGR2RGB,
+    )
+    scales = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
+    evaluator = SlidingWindowEvaluator(
+        model, variables, classes=19, crop_h=713, crop_w=713,
+        mean=mean, std=std, base_size=2048, scales=scales,
+        window_batch=int(os.environ.get("PERF_WINDOW_BATCH", "16")),
+        mode="device",
+    )
+    t0 = time.perf_counter()
+    evaluator.predict(image)  # compile all 6 scale programs + combiner
+    compile_s = time.perf_counter() - t0
+    np.asarray(evaluator.predict_async(image))  # settle the link
+    n_iters = int(os.environ.get("PERF_MS_ITERS", "6"))
+    start = time.perf_counter()
+    pending = [evaluator.predict_async(image) for _ in range(n_iters)]
+    results = [np.asarray(p) for p in pending]
+    elapsed = time.perf_counter() - start
+    assert all(r.shape == (1024, 2048) for r in results)
+    _emit(
+        "eval_ms6_cityscapes_pspnet50",
+        scales=len(scales),
+        images_per_sec_chip=round(n_iters / elapsed, 2),
+        warmup_s=round(compile_s, 1),
+    )
+
+
 SECTIONS = {"train": section_train, "loader": section_loader,
-            "eval": section_eval}
+            "eval": section_eval, "eval_ms": section_eval_ms}
 
 
 def main():

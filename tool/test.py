@@ -189,17 +189,52 @@ def _image_shape(path):
     return img.shape[:2]
 
 
-def test(logger, test_data, evaluator, gray_folder, color_folder, colors):
+def test(logger, test_data, evaluator, gray_folder, color_folder, colors,
+         pipeline_depth=3):
     logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+    from collections import deque
+
     from semseg_tpu.utils import AverageMeter, check_makedirs, colorize
 
+    check_makedirs(gray_folder)
+    check_makedirs(color_folder)
+
+    def save(idx, gray):
+        color = colorize(gray, colors)
+        image_path, _ = test_data.data_list[idx]
+        image_name = os.path.splitext(os.path.basename(image_path))[0]
+        cv2.imwrite(os.path.join(gray_folder, image_name + ".png"), gray)
+        color.save(os.path.join(color_folder, image_name + ".png"))
+
     data_time, batch_time = AverageMeter(), AverageMeter()
+    device_mode = getattr(evaluator, "mode", "host") in (
+        "device", "device_bucketed"
+    )
+    # Device pipelines dispatch asynchronously: keep several images in
+    # flight so upload, compute and readback overlap across images
+    # (exactly the wire bench.py measures) instead of a full host sync
+    # per image. Host mode stays serial (reference-faithful path).
+    depth = max(1, pipeline_depth) if device_mode else 0
+    pending = deque()
     end = time.time()
     n = len(test_data)
     for i in range(n):
         image, _ = test_data[i]
+        image = np.ascontiguousarray(image)
+        if device_mode and image.dtype != np.uint8:
+            # Decoded pixels are integer-valued [0,255] floats here;
+            # shipping them as uint8 quarters the host->device bytes of
+            # this upload-bound pipeline, bit-exactly (the device program
+            # casts back to f32 before any arithmetic).
+            image = image.astype(np.uint8)
         data_time.update(time.time() - end)
-        gray = evaluator.predict(np.ascontiguousarray(image))
+        if device_mode:
+            pending.append((i, evaluator.predict_async(image)))
+            while len(pending) > depth:
+                j, lazy = pending.popleft()
+                save(j, np.asarray(lazy))
+        else:
+            save(i, evaluator.predict(image))
         batch_time.update(time.time() - end)
         end = time.time()
         if (i + 1) % 10 == 0 or i + 1 == n:
@@ -208,13 +243,9 @@ def test(logger, test_data, evaluator, gray_folder, color_folder, colors):
                 i + 1, n, data_time.val, data_time.avg,
                 batch_time.val, batch_time.avg,
             )
-        check_makedirs(gray_folder)
-        check_makedirs(color_folder)
-        color = colorize(gray, colors)
-        image_path, _ = test_data.data_list[i]
-        image_name = os.path.splitext(os.path.basename(image_path))[0]
-        cv2.imwrite(os.path.join(gray_folder, image_name + ".png"), gray)
-        color.save(os.path.join(color_folder, image_name + ".png"))
+    while pending:
+        j, lazy = pending.popleft()
+        save(j, np.asarray(lazy))
     logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
 
 

@@ -88,6 +88,38 @@ def run(cfg):
         num_devices, jax.process_count(), data_parallel, model_parallel,
     )
 
+    # Distributed-section keys from the reference schema: `sync_bn` is
+    # honored (build_model switches BN between global-batch moments and
+    # per-replica groups); `train_gpu` is validated against the attached
+    # device count (the reference pins processes to that list,
+    # tool/train.py:86-93,152-156 — here the mesh is the contract); the
+    # NCCL rendezvous keys have no TPU equivalent and are reported inert.
+    train_gpu = cfg.get("train_gpu")
+    if train_gpu is not None and len(train_gpu) != num_devices:
+        logger.warning(
+            "config train_gpu lists %d devices but %d chips are attached; "
+            "the attached mesh is used (batch divisibility is enforced "
+            "against it below)", len(train_gpu), num_devices,
+        )
+    inert = [
+        k for k in ("dist_url", "dist_backend", "multiprocessing_distributed",
+                    "world_size", "rank")
+        if cfg.get(k) is not None
+    ]
+    if inert:
+        logger.info(
+            "NCCL-era config keys with no TPU-native equivalent "
+            "(accepted, ignored): %s — multi-host setup is "
+            "jax.distributed.initialize via JAX_COORDINATOR_ADDRESS",
+            ", ".join(inert),
+        )
+    if not cfg.get("sync_bn", True):
+        logger.info(
+            "sync_bn False: BatchNorm uses per-replica-group moments "
+            "(%d groups), matching the reference's per-GPU BatchNorm2d",
+            data_parallel,
+        )
+
     # Training defaults to float32 compute, matching the reference recipe's
     # numerics (torch trains f32). `compute_dtype: bfloat16` opts into the
     # faster MXU path (params/stats stay f32 either way) — validate mIoU at
@@ -537,7 +569,17 @@ def _train_epoch(cfg, logger, is_main, writer, loader, train_step, state,
         flag_local = (preempt is not None and preempt["flag"]) or (
             preempt_after is not None and current_iter >= int(preempt_after)
         )
-        if _preempt_agreed(flag_local):
+        # Single process: react to the local flag immediately (free).
+        # Multi-host: the agreement collective is a blocking host round
+        # trip (~40ms on a relay), so it runs only at print_freq
+        # boundaries — the same loop point on every host, preserving the
+        # same-step-boundary guarantee while taxing the hot loop zero
+        # extra syncs (it aligns with the metric flush already there).
+        if jax.process_count() == 1:
+            if flag_local:
+                preempted = True
+                break
+        elif batch_idx % cfg.print_freq == 0 and _preempt_agreed(flag_local):
             preempted = True
             break
     flush()
@@ -572,9 +614,10 @@ def _preempt_agreed(flag_local: bool) -> bool:
     next step's cross-host collectives (SyncBN moments, gradient
     all-reduce) that the exited host never joins — a deadlock — and the
     saved snapshot's step would disagree across hosts. Every host calls
-    this at the same loop point each iteration, so all hosts observe the
-    same OR-reduced flag and break on the same step boundary.
-    Single-process: the local flag as-is.
+    this at the same loop points (print_freq boundaries — a blocking
+    host round trip per call, so it is amortized rather than per-step),
+    so all hosts observe the same OR-reduced flag and break on the same
+    step boundary. Single-process: the local flag as-is.
     """
     import jax
 
