@@ -40,30 +40,66 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-# Auto-selection boundary for the fused Pallas softmax+bmm kernel, in
-# units of batch * positions (n * h * w after shrink). Measured on one
-# v5e chip (bf16 train steps): at the ADE recipe (n=16, hw=900 -> 14400)
-# fused wins slightly (203 vs 207 ms); at Cityscapes-PSA (hw=2025) fused
-# matches XLA at n=4 but FAILS TPU compilation at n>=8, while the XLA
-# softmax+einsum path compiles and reaches 35.5 img/s at n=8 vs the
-# fused path's 20.4 at its n=4 ceiling. Above this limit the auto rule
-# therefore prefers the XLA path; explicit ``fused_attention`` overrides.
-FUSED_ATTENTION_AUTO_LIMIT = 14400
+# Fused-kernel auto rule: derived from the kernels' scoped-VMEM model
+# rather than a measured magic point. The binding constraint is the
+# per-grid-step VMEM of the three pallas kernels (fwd, da, dx — see
+# ops/psa_pallas.py): each holds a [Cp, HWp] features block and/or a
+# [Cp, HWp] f32 accumulator plus per-tile blocks, double-buffered.
+# Round-2's opaque batch>=8 Cityscapes-PSA compile failure was exactly
+# this ("Scoped allocation with size 19.30M and limit 16.00M") in the
+# then-monolithic backward kernel; the split kernels fit (batch 16
+# compiles and beats the XLA path: 448 vs 458 ms/step, 35.7 vs 35.0
+# img/s on one v5e). Budget is per-core VMEM (16 MB on v4/v5e/v5p),
+# overridable for other generations via SEMSEG_VMEM_BYTES.
+
+_TILE_J = 128
+_SUBLANE = 16
+
+
+def _vmem_budget() -> int:
+    import os
+
+    return int(os.environ.get("SEMSEG_VMEM_BYTES", 16 * 2 ** 20))
+
+
+def fused_attention_vmem_bytes(c: int, hw: int,
+                               operand_bytes: int = 2) -> int:
+    """Scoped-VMEM estimate of the worst fused-attention kernel at
+    (channels, positions): max over {fwd, da, dx} of the per-grid-step
+    block set, x2 for double buffering, plus the f32 softmax scratch."""
+    cp = -(-c // _SUBLANE) * _SUBLANE
+    hwp = -(-hw // _SUBLANE) * _SUBLANE
+    fwd = (cp * hwp * operand_bytes          # x block
+           + hwp * _TILE_J * operand_bytes   # a tile
+           + cp * _TILE_J * 4)               # out tile (f32)
+    da = (cp * hwp * operand_bytes           # x block
+          + hwp * _TILE_J * operand_bytes    # a tile
+          + cp * _TILE_J * 4                 # g tile
+          + hwp * _TILE_J * 4)               # da tile
+    dx = (hwp * _TILE_J * operand_bytes      # a tile
+          + cp * _TILE_J * 4                 # g tile
+          + cp * hwp * 4)                    # dx accumulator (f32)
+    scratch = 2 * hwp * _TILE_J * 4          # softmax exp/p f32 temporaries
+    return 2 * max(fwd, da, dx) + scratch
 
 
 def use_fused_attention(fused_attention, n: int, hw: int,
-                        data_shards: int = 1) -> bool:
+                        data_shards: int = 1, c: int = 512,
+                        operand_bytes: int = 2) -> bool:
     """Resolve the fused-kernel choice for one attention branch.
 
-    ``fused_attention``: True/False forces; None = auto (fused on TPU
-    when the PER-CHIP ``n * hw`` stays within the measured-safe compile
-    envelope). ``n`` is the traced (global) batch under GSPMD;
-    ``data_shards`` is the data-axis size that divides it per chip.
+    ``fused_attention``: True/False forces; None = auto — fused on TPU
+    when the VMEM model says the kernels fit (with a 25% safety margin
+    for Mosaic's own temporaries). Batch does not enter: per-grid-step
+    VMEM is batch-independent (the grid covers batch x query tiles).
     """
     if fused_attention is not None:
         return bool(fused_attention)
-    per_chip = -(-n // max(1, data_shards))
-    return _on_tpu() and per_chip * hw <= FUSED_ATTENTION_AUTO_LIMIT
+    if not _on_tpu():
+        return False
+    return fused_attention_vmem_bytes(c, hw, operand_bytes) <= (
+        0.75 * _vmem_budget()
+    )
 
 
 class PSA(nn.Module):
@@ -122,7 +158,9 @@ class PSA(nn.Module):
             a = psa_attention_matrix(y, psa_type, self.mask_h, self.mask_w)
 
         use_fused = use_fused_attention(
-            self.fused_attention, n, hw, self.data_shards
+            self.fused_attention, n, hw, self.data_shards,
+            c=self.mid_channels,
+            operand_bytes=2 if self.dtype == jnp.bfloat16 else 4,
         )
         x_flat = xr.reshape(n, hw, -1)
         if use_fused and self.psa_softmax:

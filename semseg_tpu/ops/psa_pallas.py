@@ -100,16 +100,8 @@ def _fwd(x: jnp.ndarray, a: jnp.ndarray, norm: float, tile_j: int,
     return out[:, :c, :hw]
 
 
-def _bwd_kernel(x_ref, a_ref, g_ref, norm_ref, dx_ref, da_ref, *, hw: int,
-                precision):
-    """Backward for one (batch, query-tile) step.
-
-    Recomputes p = softmax(a) then:
-      dx[c, i] += sum_j g[c, j] * p[i, j] * inv_norm      (dx = g @ p^T)
-      dP[i, j]  = sum_c x[c, i] * g[c, j] * inv_norm      (x^T @ g)
-      da[i, j]  = p * (dP - sum_i p * dP)                  (softmax vjp)
-    dx is accumulated across query tiles (grid dim 1 revisits the block).
-    """
+def _softmax_tile(a_ref, hw: int):
+    """Column softmax of one [HWp, TJ] tile, masking padded source rows."""
     a = a_ref[0].astype(jnp.float32)
     hwp = a.shape[0]
     if hwp != hw:
@@ -117,17 +109,40 @@ def _bwd_kernel(x_ref, a_ref, g_ref, norm_ref, dx_ref, da_ref, *, hw: int,
         a = jnp.where(row < hw, a, -jnp.inf)
     col_max = jnp.max(a, axis=0, keepdims=True)
     e = jnp.exp(a - col_max)
-    denom = jnp.sum(e, axis=0, keepdims=True)
-    p = e / denom
+    return e / jnp.sum(e, axis=0, keepdims=True)
 
-    inv_norm = norm_ref[0, 0]
-    g = g_ref[0].astype(jnp.float32) * inv_norm
+
+def _bwd_da_kernel(x_ref, a_ref, g_ref, norm_ref, da_ref, *, hw: int,
+                   precision):
+    """da for one (batch, query-tile) step.
+
+      dP[i, j] = sum_c x[c, i] * g[c, j] * inv_norm      (x^T @ g)
+      da[i, j] = p * (dP - sum_i p * dP)                  (softmax vjp)
+    """
+    p = _softmax_tile(a_ref, hw)
+    g = g_ref[0].astype(jnp.float32) * norm_ref[0, 0]
     x = x_ref[0].astype(jnp.float32)
-
     dp = jnp.dot(x.T, g, preferred_element_type=jnp.float32,
                  precision=precision)
     da_ref[0] = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
 
+
+def _bwd_dx_kernel(a_ref, g_ref, norm_ref, dx_ref, *, hw: int, precision):
+    """dx for one (batch, query-tile) step, accumulated across query
+    tiles (grid dim 1 revisits the block):
+
+      dx[c, i] += sum_j g[c, j] * p[i, j] * inv_norm      (dx = g @ p^T)
+
+    Split from the da kernel so neither holds x AND the [C, HWp] f32
+    accumulator at once: the combined kernel's scoped VMEM reached
+    19.3 MB at the Cityscapes-PSA extent (hw=2025) — over the 16 MB
+    budget — which is exactly the round-2 whole-program compile failure
+    (the relay surfaced it as an opaque HTTP 500). Separated, each
+    kernel double-buffers comfortably under the limit and batch-16
+    Cityscapes-PSA compiles on the fused path.
+    """
+    p = _softmax_tile(a_ref, hw)
+    g = g_ref[0].astype(jnp.float32) * norm_ref[0, 0]
     dx_tile = jnp.dot(g, p.T, preferred_element_type=jnp.float32,
                       precision=precision)
 
@@ -150,31 +165,37 @@ def _bwd(tile_j: int, norm: float, interpret: bool, residuals, grad):
     ap = jnp.pad(a, ((0, 0), (0, hwp - hw), (0, jp - hw)))
     gp = jnp.pad(grad, ((0, 0), (0, cp - c), (0, jp - hw)))
     norm_arr = jnp.full((1, 1), 1.0 / norm, jnp.float32)
+    precision = _precision_for(x, a)
 
-    dx, da = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw, precision=_precision_for(x, a)),
+    a_spec = pl.BlockSpec((1, hwp, tile_j), lambda b, j: (b, 0, j),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, cp, tile_j), lambda b, j: (b, 0, j),
+                          memory_space=pltpu.VMEM)
+    da = pl.pallas_call(
+        functools.partial(_bwd_da_kernel, hw=hw, precision=precision),
         grid=(n, jp // tile_j),
         in_specs=[
             pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hwp, tile_j), lambda b, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp, tile_j), lambda b, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
+            a_spec, g_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hwp, tile_j), lambda b, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, cp, hwp), jnp.float32),
-            jax.ShapeDtypeStruct((n, hwp, jp), jnp.float32),
-        ),
+        out_specs=a_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hwp, jp), jnp.float32),
         interpret=interpret,
     )(xp, ap, gp, norm_arr)
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, hw=hw, precision=precision),
+        grid=(n, jp // tile_j),
+        in_specs=[
+            a_spec, g_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cp, hwp), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cp, hwp), jnp.float32),
+        interpret=interpret,
+    )(ap, gp, norm_arr)
     # custom_vjp cotangents must match the primal dtypes (bf16 operands
     # keep bf16 gradients, like the rest of the bf16 compute path).
     return (

@@ -77,30 +77,37 @@ def test_matmul_precision_knob_plumbs_through_build():
 
 
 def test_fused_attention_auto_rule_and_config_plumb(monkeypatch):
-    """Auto fused-kernel choice is size-aware (fused within the measured
-    compile envelope, XLA path above it); explicit True/False and the
-    `fused_attention` config key override it."""
+    """Auto fused-kernel choice is a scoped-VMEM model (batch does not
+    enter — per-grid-step VMEM is batch-independent); explicit
+    True/False and the `fused_attention` config key override it."""
     import semseg_tpu.models.psanet as psanet_mod
     from semseg_tpu.config import Config
     from semseg_tpu.models.psanet import (
-        FUSED_ATTENTION_AUTO_LIMIT,
+        fused_attention_vmem_bytes,
         use_fused_attention,
     )
 
     monkeypatch.setattr(psanet_mod, "_on_tpu", lambda: True)
-    # ADE recipe (n=16, hw=30*30) sits exactly at the limit -> fused.
+    # Every shipped recipe fits: ADE (hw=900) and Cityscapes-PSA
+    # (hw=2025) at any batch — the VMEM-OOM that capped round 2's
+    # monolithic backward kernel is gone with the split kernels.
     assert use_fused_attention(None, 16, 900)
-    # Cityscapes-PSA batch 8 (hw=45*45) exceeds it -> XLA path.
-    assert not use_fused_attention(None, 8, 2025)
-    assert use_fused_attention(None, 4, 2025)
-    assert 16 * 900 == FUSED_ATTENTION_AUTO_LIMIT
-    # The envelope is PER CHIP: global batch 128 over 8 data shards is
-    # 16/chip — the measured-safe ADE load — so auto stays fused; the
-    # same global batch on 2 shards (64/chip) is not.
-    assert use_fused_attention(None, 128, 900, data_shards=8)
-    assert not use_fused_attention(None, 128, 900, data_shards=2)
+    assert use_fused_attention(None, 8, 2025)
+    assert use_fused_attention(None, 16, 2025)
+    # A shrink_factor=1 Cityscapes extent (hw=8100) blows the dx
+    # accumulator block past VMEM -> auto picks the XLA path.
+    assert not use_fused_attention(None, 1, 8100)
+    # f32 operands double the streamed blocks; the model accounts for it
+    # (hw=2025 f32 still fits; the budget binds ~2x earlier).
+    assert fused_attention_vmem_bytes(512, 2025, 4) > \
+        fused_attention_vmem_bytes(512, 2025, 2)
+    # The rule follows the chip's VMEM budget (env override for other
+    # TPU generations).
+    monkeypatch.setenv("SEMSEG_VMEM_BYTES", str(4 * 2 ** 20))
+    assert not use_fused_attention(None, 16, 2025)
+    monkeypatch.delenv("SEMSEG_VMEM_BYTES")
     # Explicit override beats auto in both directions.
-    assert use_fused_attention(True, 8, 2025)
+    assert use_fused_attention(True, 8, 8100)
     assert not use_fused_attention(False, 1, 1)
     # Off-TPU auto is always the XLA path.
     monkeypatch.setattr(psanet_mod, "_on_tpu", lambda: False)
