@@ -157,7 +157,30 @@ class SlidingWindowEvaluator:
     # ------------------------------------------------------------------
     # device mode: one jitted program per (image shape, scale)
     # ------------------------------------------------------------------
+    def _build_ms_argmax_fn(self, h, w):
+        """ALL scales + sum + argmax as ONE program: a multi-scale image
+        costs one dispatch, one image upload and one uint8 readback. On
+        a relay-attached chip each extra dispatch costs host RTT that
+        caps pipelined throughput (measured: 6 per-scale dispatches +
+        combiner ran at 0.7 img/s; the fused program removes that
+        ceiling). Shares the per-scale pipeline builders."""
+        raw_fns = [
+            self._build_scale_raw(h, w, scale) for scale in self.scales
+        ]
+
+        def ms_fn(variables, image):
+            total = None
+            for fn in raw_fns:
+                probs = fn(variables, image)
+                total = probs if total is None else total + probs
+            return jnp.argmax(total, axis=-1).astype(jnp.uint8)
+
+        return jax.jit(ms_fn)
+
     def _build_scale_fn(self, h, w, scale, emit_argmax=False):
+        return jax.jit(self._build_scale_raw(h, w, scale, emit_argmax))
+
+    def _build_scale_raw(self, h, w, scale, emit_argmax=False):
         crop_h, crop_w = self.crop_h, self.crop_w
         new_h, new_w = _scaled_size(h, w, scale, self.base_size)
         pad_h = max(crop_h - new_h, 0)
@@ -166,13 +189,32 @@ class SlidingWindowEvaluator:
         canvas_h, canvas_w = new_h + pad_h, new_w + pad_w
         coords = _grid_coords(canvas_h, canvas_w, crop_h, crop_w, self.stride_rate)
 
-        count = np.zeros((canvas_h, canvas_w, 1), dtype=np.float32)
-        for (s_h, s_w) in coords:
-            count[s_h : s_h + crop_h, s_w : s_w + crop_w] += 1.0
+        # The per-pixel window-coverage map is separable (the grid is a
+        # cartesian product of row/col origins): count = rows ⊗ cols.
+        # Keeping it as two 1-D vectors instead of a [H, W] constant
+        # matters remotely: a full Cityscapes 1.75x-scale count map is a
+        # ~25 MB HLO constant, and the fused all-scales ms program with
+        # six of them exceeded the compile-relay's request size limit.
+        count_rows = np.zeros((canvas_h, 1), dtype=np.float32)
+        count_cols = np.zeros((canvas_w, 1), dtype=np.float32)
+        for s_h in sorted({c[0] for c in coords}):
+            count_rows[s_h : s_h + crop_h] += 1.0
+        for s_w in sorted({c[1] for c in coords}):
+            count_cols[s_w : s_w + crop_w] += 1.0
 
-        # Chunk windows; flip doubles the model batch.
-        wb = max(1, self.window_batch // (2 if self.flip else 1))
+        # Chunk windows; flip doubles the model batch. The chunk size is
+        # chosen per scale to minimize padded slots (then maximize batch):
+        # the fixed-wb grid wasted ~16% of all window forwards as padding
+        # across the 6-scale Cityscapes protocol (81 windows -> 96 slots),
+        # and ms eval is window-forward-bound.
+        wb_max = max(1, self.window_batch // (2 if self.flip else 1))
         n_win = len(coords)
+        wb = min(wb_max, n_win)
+        best_slots = -(-n_win // wb) * wb
+        for cand in range(1, wb_max + 1):
+            slots = -(-n_win // cand) * cand
+            if slots < best_slots or (slots == best_slots and cand > wb):
+                best_slots, wb = slots, cand
         n_pad = (-n_win) % wb
         coords_arr = np.asarray(
             coords + [(0, 0)] * n_pad, dtype=np.int32
@@ -234,7 +276,9 @@ class SlidingWindowEvaluator:
                 chunk_body, acc0,
                 (jnp.asarray(coords_arr), jnp.asarray(weights_arr)),
             )
-            acc = acc / jnp.asarray(count)
+            acc = acc / (
+                jnp.asarray(count_rows)[:, None] * jnp.asarray(count_cols)
+            )
             # 3) un-pad, resize probs back to the original resolution
             acc = jax.lax.dynamic_slice(
                 acc, (pad_h_half, pad_w_half, 0),
@@ -248,7 +292,7 @@ class SlidingWindowEvaluator:
                 return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
             return probs
 
-        return jax.jit(scale_fn)
+        return scale_fn
 
     def _scale_probs_device(self, image: np.ndarray):
         """Dispatch every scale's program; returns the list of lazy
@@ -379,9 +423,13 @@ class SlidingWindowEvaluator:
                         h, w, self.scales[0], emit_argmax=True
                     )
                 return self._scale_fns[key](self.variables, jnp.asarray(image))
-            # ms: per-scale programs + one fused sum/argmax program — all
-            # async dispatches, so callers can pipeline across images.
-            return self._combine_argmax(self._scale_probs_device(image))
+            # ms: ONE fused all-scales program (single dispatch + upload
+            # + uint8 readback per image; pipelines across images).
+            h, w, _ = image.shape
+            key = (h, w, "ms_argmax")
+            if key not in self._scale_fns:
+                self._scale_fns[key] = self._build_ms_argmax_fn(h, w)
+            return self._scale_fns[key](self.variables, jnp.asarray(image))
         if self.mode == "device_bucketed":
             probs, (h, w) = self._bucketed.predict_probs(image)
             return jnp.argmax(probs, axis=-1).astype(jnp.uint8)[:h, :w]

@@ -322,6 +322,10 @@ def test_device_pipeline_matches_host_pipeline():
     np.testing.assert_allclose(p_dev, p_host, atol=2e-2, rtol=1e-2)
     agree = (np.argmax(p_dev, -1) == np.argmax(p_host, -1)).mean()
     assert agree > 0.995, agree
+    # The fused all-scales ms program (predict_async single-dispatch
+    # path) must agree exactly with the per-scale device path.
+    gray_fused = np.asarray(dev.predict_async(image))
+    np.testing.assert_array_equal(gray_fused, np.argmax(p_dev, -1))
 
 
 @pytest.mark.parametrize("bucket", [32, 128])
