@@ -97,6 +97,55 @@ def test_pspnet50_full_crop_logit_parity(torch_pspnet50, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_psanet50_full_crop_logit_parity(rng):
+    """ADE20K PSANet50 recipe-scale parity: 465x465 crop, 150 classes,
+    bi-direction PSA with the derived 59x59 mask at shrink 2 (reference
+    ``tool/train.py:70-72`` mask-dim derivation,
+    ``config/ade20k/ade20k_psanet50.yaml``). One level above
+    ``test_parity.py``'s 33x33 PSA smoke tests: the full-extent mask,
+    the 30x30 shrunk attention grid, and the recipe head widths."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from tests.test_parity import _install_psa_stub
+
+    _install_psa_stub()
+    from model.psanet import PSANet as TorchPSANet
+
+    from semseg_tpu.models import PSANet
+    from semseg_tpu.models.convert import convert_torch_state_dict
+
+    crop = 465
+    mask = 2 * ((crop - 1) // (8 * 2) + 1) - 1  # 59, as the driver derives
+    torch.manual_seed(0)
+    torch_model = TorchPSANet(
+        layers=50, classes=CLASSES, zoom_factor=8, psa_type=2, compact=False,
+        shrink_factor=2, mask_h=mask, mask_w=mask, normalization_factor=1.0,
+        psa_softmax=True, pretrained=False,
+    )
+    torch_model.eval()
+    x = rng.randn(1, 3, crop, crop).astype(np.float32)
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x)).permute(0, 2, 3, 1).numpy()
+
+    variables, unused = convert_torch_state_dict(
+        torch_model.state_dict(), "psa", 50
+    )
+    assert not unused, unused
+    variables = jax.tree.map(jnp.asarray, variables)
+    model = PSANet(
+        layers=50, classes=CLASSES, zoom_factor=8, psa_type=2, compact=False,
+        shrink_factor=2, mask_h=mask, mask_w=mask, normalization_factor=1.0,
+        psa_softmax=True,
+    )
+    got = np.asarray(
+        jax.jit(lambda v, xs: model.apply(v, xs, train=False))(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    )
+    assert got.shape == want.shape == (1, crop, crop, CLASSES)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # torch oracle pipeline (implements the documented reference semantics:
 # tool/demo.py:106-189 == tool/test.py:122-178; written independently)
