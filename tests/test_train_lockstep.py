@@ -65,13 +65,17 @@ def _poly(base_lr, it, max_iter, power=POWER):
 SNAP_STEP = 1
 
 
-def _torch_trajectory(torch_model, batches):
+def _torch_trajectory(torch_model, batches, new_module_names=("ppm", "cls", "aux")):
     """Reference-recipe training loop (single process == one replica:
     DDP loss semantics reduce to plain valid-pixel-mean CE). Returns
-    (per-step losses, state_dict snapshot after SNAP_STEP steps)."""
+    (per-step losses, state_dict snapshot after SNAP_STEP steps).
+
+    ``new_module_names``: the 10x-LR group — (ppm, cls, aux) for PSPNet,
+    (psa, cls, aux) for PSANet (reference ``tool/train.py:125-133``).
+    """
     modules_ori = [torch_model.layer0, torch_model.layer1, torch_model.layer2,
                    torch_model.layer3, torch_model.layer4]
-    modules_new = [torch_model.ppm, torch_model.cls, torch_model.aux]
+    modules_new = [getattr(torch_model, name) for name in new_module_names]
     params_list = [dict(params=m.parameters(), lr=BASE_LR) for m in modules_ori]
     params_list += [dict(params=m.parameters(), lr=BASE_LR * 10)
                     for m in modules_new]
@@ -103,36 +107,26 @@ def _torch_trajectory(torch_model, batches):
     return losses, snap
 
 
-def test_lockstep_training_trajectory_vs_torch():
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    from model.pspnet import PSPNet as TorchPSPNet
-
+def _run_lockstep(torch_model, new_module_names, model, arch):
+    """Run the 10-step lockstep comparison for one (torch, jax) model pair
+    starting from the torch init. Asserts per-step loss tracking, the
+    SNAP_STEP parameter-tree diff, and aggregate 10-step movement."""
     from semseg_tpu.engine.trainer import (
         TrainState,
         create_train_state,
         make_train_step,
     )
-    from semseg_tpu.models import PSPNet
     from semseg_tpu.models.convert import (
         convert_torch_state_dict,
         export_torch_state_dict,
     )
 
-    torch.manual_seed(7)
-    torch_model = TorchPSPNet(
-        layers=50, classes=CLASSES, zoom_factor=8, dropout=0.0,
-        pretrained=False,
-        criterion=torch.nn.CrossEntropyLoss(ignore_index=IGNORE),
-    )
-
     # Identical starting point: convert the torch init.
     variables, unused = convert_torch_state_dict(
-        torch_model.state_dict(), "psp", 50
+        torch_model.state_dict(), arch, 50
     )
     assert not unused, unused
 
-    model = PSPNet(layers=50, classes=CLASSES, zoom_factor=8, dropout=0.0)
     sample = jnp.zeros((BATCH, CROP, CROP, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), sample)
     state = TrainState(
@@ -150,7 +144,7 @@ def test_lockstep_training_trajectory_vs_torch():
     init_sd = export_torch_state_dict(
         {"params": jax.device_get(state.params),
          "batch_stats": jax.device_get(state.batch_stats)},
-        "psp", 50, ddp_prefix=False,
+        arch, 50, ddp_prefix=False,
     )
     batches = _fixed_batches()
     ours_losses = []
@@ -165,7 +159,7 @@ def test_lockstep_training_trajectory_vs_torch():
             ours_snap = export_torch_state_dict(
                 {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)},
-                "psp", 50, ddp_prefix=False,
+                arch, 50, ddp_prefix=False,
             )
 
     # CRITICAL: materialize the full final state BEFORE any torch compute.
@@ -176,7 +170,9 @@ def test_lockstep_training_trajectory_vs_torch():
     # counter and losses of the same execution stayed correct).
     jax.block_until_ready((state.params, state.batch_stats, state.opt))
 
-    want_losses, want_snap = _torch_trajectory(torch_model, batches)
+    want_losses, want_snap = _torch_trajectory(
+        torch_model, batches, new_module_names
+    )
 
     # Tolerances: step 0 is a pure forward+loss comparison from identical
     # weights — near-exact (observed ~3e-7). Later steps track through a
@@ -229,7 +225,7 @@ def test_lockstep_training_trajectory_vs_torch():
     final_sd = export_torch_state_dict(
         {"params": jax.device_get(state.params),
          "batch_stats": jax.device_get(state.batch_stats)},
-        "psp", 50, ddp_prefix=False,
+        arch, 50, ddp_prefix=False,
     )
     want_final = torch_model.state_dict()
     for key, val in final_sd.items():
@@ -249,3 +245,126 @@ def test_lockstep_training_trajectory_vs_torch():
         assert 0.6 < ratio < 1.7, (
             f"{key}: movement ratio {ratio:.3f} after {STEPS} steps"
         )
+
+
+def test_lockstep_training_trajectory_vs_torch():
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from model.pspnet import PSPNet as TorchPSPNet
+
+    from semseg_tpu.models import PSPNet
+
+    torch.manual_seed(7)
+    torch_model = TorchPSPNet(
+        layers=50, classes=CLASSES, zoom_factor=8, dropout=0.0,
+        pretrained=False,
+        criterion=torch.nn.CrossEntropyLoss(ignore_index=IGNORE),
+    )
+    model = PSPNet(layers=50, classes=CLASSES, zoom_factor=8, dropout=0.0)
+    _run_lockstep(torch_model, ("ppm", "cls", "aux"), model, "psp")
+
+
+# --------------------------------------------------------------------------
+# PSANet lockstep. The eval-parity psa_mask stub (tests/test_parity.py)
+# breaks the autograd graph (detach().numpy()), so training needs a
+# DIFFERENTIABLE torch psamask: the op is linear with a fixed 0/1 scatter
+# pattern, so collect is one einsum against a precomputed indicator tensor
+# and distribute is collect with the two (H*W) axes transposed
+# (psamask.cpp:37-61 indexes the same entries through the transposed view).
+
+_SCATTER_CACHE = {}
+
+
+def _psa_scatter_indicator(feat_h, feat_w, mask_h, mask_w):
+    """P[other, c, h, w] = 1 iff the reference collect kernel writes
+    buffer[other, h, w] from mask channel c (psamask.cpp:11-35, incl.
+    border clipping; out-of-range entries stay structural zeros)."""
+    key = (feat_h, feat_w, mask_h, mask_w)
+    if key not in _SCATTER_CACHE:
+        half_h, half_w = (mask_h - 1) // 2, (mask_w - 1) // 2
+        P = torch.zeros(feat_h * feat_w, mask_h * mask_w, feat_h, feat_w)
+        for h in range(feat_h):
+            for w in range(feat_w):
+                for hidx in range(max(0, half_h - h),
+                                  min(mask_h, feat_h + half_h - h)):
+                    for widx in range(max(0, half_w - w),
+                                      min(mask_w, feat_w + half_w - w)):
+                        other = (hidx + h - half_h) * feat_w \
+                            + (widx + w - half_w)
+                        P[other, hidx * mask_w + widx, h, w] = 1.0
+        _SCATTER_CACHE[key] = P
+    return _SCATTER_CACHE[key]
+
+
+def _psa_mask_differentiable(input_, psa_type, mask_h, mask_w):
+    n, c, feat_h, feat_w = input_.shape
+    assert c == mask_h * mask_w
+    P = _psa_scatter_indicator(feat_h, feat_w, mask_h, mask_w)
+    col = torch.einsum("ochw,bchw->bohw", P.to(input_.dtype), input_)
+    if psa_type == 0:
+        return col
+    hw = feat_h * feat_w
+    return col.reshape(n, hw, hw).transpose(1, 2).reshape(
+        n, hw, feat_h, feat_w
+    )
+
+
+def _install_differentiable_psa_stub():
+    """Install (or override) lib.psa.functional.psa_mask with the
+    differentiable implementation. Forward-identical to the numpy-oracle
+    stub, so overriding a previously-installed eval stub is harmless."""
+    import types
+
+    if "lib.psa.functional" in sys.modules:
+        sys.modules["lib.psa.functional"].psa_mask = _psa_mask_differentiable
+        return
+    functional = types.ModuleType("lib.psa.functional")
+    functional.psa_mask = _psa_mask_differentiable
+    lib = types.ModuleType("lib")
+    lib_psa = types.ModuleType("lib.psa")
+    lib_psa.functional = functional
+    sys.modules.setdefault("lib", lib)
+    sys.modules["lib.psa"] = lib_psa
+    sys.modules["lib.psa.functional"] = functional
+
+
+def test_differentiable_psa_stub_matches_oracle(rng):
+    """The lockstep's torch-side psamask must itself be pinned to the
+    C++ reference semantics before it can serve as the oracle."""
+    from tests.test_ops import psamask_oracle
+
+    for psa_type in (0, 1):
+        mask = rng.randn(2, 25, 3, 4).astype(np.float32)
+        want = psamask_oracle(mask, psa_type, 5, 5)
+        got = _psa_mask_differentiable(
+            torch.from_numpy(mask), psa_type, 5, 5
+        ).numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def test_lockstep_training_trajectory_vs_torch_psanet():
+    """PSANet lockstep: additionally pins the PSA attention BACKWARD path
+    (mask scatter -> softmax -> bmm aggregation and both reduce/attention
+    branch gradients) against torch — the eval parity tests cover only
+    the forward (reference ``model/psanet.py:53-98``)."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    _install_differentiable_psa_stub()
+    from model.psanet import PSANet as TorchPSANet
+
+    from semseg_tpu.models import PSANet
+
+    mask = 5  # full extent for the 3x3 shrunk grid (33 crop, stride 8, shrink 2)
+    torch.manual_seed(11)
+    torch_model = TorchPSANet(
+        layers=50, classes=CLASSES, zoom_factor=8, dropout=0.0,
+        psa_type=2, compact=False, shrink_factor=2, mask_h=mask, mask_w=mask,
+        normalization_factor=1.0, psa_softmax=True, pretrained=False,
+        criterion=torch.nn.CrossEntropyLoss(ignore_index=IGNORE),
+    )
+    model = PSANet(
+        layers=50, classes=CLASSES, zoom_factor=8, dropout=0.0,
+        psa_type=2, compact=False, shrink_factor=2, mask_h=mask, mask_w=mask,
+        normalization_factor=1.0, psa_softmax=True,
+    )
+    _run_lockstep(torch_model, ("psa", "cls", "aux"), model, "psa")
