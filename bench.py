@@ -96,13 +96,20 @@ def main():
     # Median of several timed windows: the tunneled link's bandwidth
     # fluctuates (measured 15-45 MB/s over minutes, with transient stalls);
     # the median window resists a stall poisoning the whole measurement.
-    # 7 windows (up from round 2's 3) make the median robust to two
-    # stalled windows — r02's capture lost 24% to exactly that.
+    # Windows are SPACED tens of seconds apart so the capture spans ~5
+    # minutes of link weather: an observed degraded period lasted several
+    # minutes and covered an entire back-to-back capture (all 7 windows
+    # 1.7-3.2 img/s while a probe minutes later showed the same pipeline
+    # at 5.3 with 6% spread) — consecutive windows are correlated samples
+    # of the same weather, spaced ones are not.
     # Async dispatch pipelines upload/compute/readback across images.
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "7"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "9"))
+    gap_s = float(os.environ.get("BENCH_WINDOW_GAP_S", "25"))
     window_rates = []
-    for _ in range(n_windows):
+    for k in range(n_windows):
+        if k:
+            time.sleep(gap_s)
         start = time.perf_counter()
         pending = [evaluator.predict_async(image) for _ in range(n_iters)]
         results = [np.asarray(p) for p in pending]
@@ -110,6 +117,17 @@ def main():
         assert all(r.shape == (1024, 2048) for r in results)
         window_rates.append(n_iters / elapsed)
     images_per_sec = float(np.median(window_rates))
+
+    # Link-bandwidth probe (not part of the metric): the pipeline is
+    # upload-bound on this relay (~6.3 MB/image vs ~140 ms compute), so a
+    # degraded capture is explained by a degraded link. Recording the
+    # probe makes the weather visible next to the number it gates.
+    probe = jax.jit(lambda x: x.sum())
+    np.asarray(probe(jax.device_put(image)))
+    t0 = time.perf_counter()
+    vals = [probe(jax.device_put(image)) for _ in range(4)]
+    _ = [np.asarray(v) for v in vals]
+    link_mbps = 4 * image.nbytes / 1e6 / (time.perf_counter() - t0)
 
     spread = (max(window_rates) - min(window_rates)) / images_per_sec
     print(json.dumps({
@@ -119,6 +137,7 @@ def main():
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "windows": [round(r, 3) for r in window_rates],
         "window_spread": round(spread, 3),
+        "link_mbps": round(link_mbps, 1),
         "input": input_kind,
     }))
 

@@ -69,6 +69,7 @@ EXTENSION_KEYS = frozenset({
     "native_loader", "eval_pipeline", "window_batch", "profile_dir",
     "remat", "image", "allow_random_weights", "image_wire_dtype",
     "eval_bucket", "matmul_precision", "fused_attention", "async_save",
+    "eval_devices", "eval_partition",
 })
 
 

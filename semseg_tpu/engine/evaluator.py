@@ -102,7 +102,24 @@ class SlidingWindowEvaluator:
         window_batch: int = 8,
         mode: str = "device",
         bucket: int = 128,
+        mesh=None,
+        partition: str = "window",
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — run the jitted scale
+        programs SPMD over multiple chips (single-process multi-chip eval;
+        the reference's ``DataParallel`` eval splits images over GPUs at
+        the process level, ``tool/test.py:34-36``+index sharding). Two
+        partitioning strategies (GSPMD — purely declarative, XLA inserts
+        the collectives/halo exchanges):
+
+        - ``partition='window'``: the window batch shards over the
+          ``data`` mesh axis — each chip runs a slice of the sliding-grid
+          forwards (throughput: matches the reference's unit of work).
+        - ``partition='spatial'``: each window's H axis shards over
+          ``data`` — every conv runs spatially partitioned with XLA halo
+          exchange (latency for ONE huge image; the TPU-native long-
+          context analog of sliding-window inference).
+        """
         self.model = model
         self.variables = variables
         self.classes = classes
@@ -119,6 +136,27 @@ class SlidingWindowEvaluator:
                 f"mode must be 'device', 'device_bucketed' or 'host', got {mode}"
             )
         self.mode = mode
+        if partition not in ("window", "spatial"):
+            raise ValueError(
+                f"partition must be 'window' or 'spatial', got {partition}"
+            )
+        self.mesh = mesh
+        self.partition = partition
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from semseg_tpu.parallel.mesh import DATA_AXIS
+
+            self._batch_spec = (
+                PartitionSpec(DATA_AXIS)
+                if partition == "window"
+                else PartitionSpec(None, DATA_AXIS)
+            )
+            # Park the weights on the mesh once (replicated) so per-image
+            # programs never re-transfer them.
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec())
+            )
         self._forward = jax.jit(self._forward_impl)
         self._scale_fns = {}
         # Cross-scale combiners run as ONE program each: summing K
@@ -226,6 +264,7 @@ class SlidingWindowEvaluator:
         mean = jnp.asarray(self.mean)
         flip = self.flip
         model_apply = self._forward_impl
+        mesh, batch_spec = self.mesh, getattr(self, "_batch_spec", None)
 
         def scale_fn(variables, image):
             # Accept uint8 uploads (4x less host->device traffic) and cast
@@ -255,6 +294,15 @@ class SlidingWindowEvaluator:
                     if flip
                     else wins
                 )
+                if mesh is not None:
+                    # Multi-chip SPMD: shard the window forwards over the
+                    # mesh (window batch on 'data', or each window's H
+                    # axis for spatial partitioning with halo exchange).
+                    from jax.sharding import NamedSharding
+
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, NamedSharding(mesh, batch_spec)
+                    )
                 probs = model_apply(variables, batch)
                 if flip:
                     probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2

@@ -98,6 +98,32 @@ def run(cfg):
                 "eval_pipeline auto-selected: %s (%d shapes over %d probes)",
                 mode, len(set(probe)), len(probe),
             )
+        # Multi-chip SPMD eval: `eval_devices: N` (or 'all') runs the
+        # window forwards over an N-chip mesh — `eval_partition: window`
+        # (throughput) or `spatial` (per-image latency via GSPMD halo
+        # exchange). Single-process analog of the reference's
+        # DataParallel eval (`tool/test.py:34-36`).
+        eval_mesh = None
+        n_eval = cfg.get("eval_devices")
+        if n_eval:
+            from jax.sharding import Mesh
+
+            from semseg_tpu.parallel.mesh import DATA_AXIS
+
+            n_eval = jax.device_count() if n_eval == "all" else int(n_eval)
+            if n_eval > jax.device_count():
+                raise RuntimeError(
+                    f"eval_devices={n_eval} but only "
+                    f"{jax.device_count()} devices attached"
+                )
+            if n_eval > 1:
+                eval_mesh = Mesh(
+                    np.asarray(jax.devices()[:n_eval]), (DATA_AXIS,)
+                )
+                logger.info(
+                    "eval mesh: %d chips, partition=%s",
+                    n_eval, cfg.get("eval_partition") or "window",
+                )
         evaluator = SlidingWindowEvaluator(
             model, variables,
             classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
@@ -105,6 +131,8 @@ def run(cfg):
             window_batch=cfg.get("window_batch") or 16,
             mode=mode,
             bucket=cfg.get("eval_bucket") or 128,
+            mesh=eval_mesh,
+            partition=cfg.get("eval_partition") or "window",
         )
         test(
             logger, test_data, evaluator, gray_folder, color_folder, colors
