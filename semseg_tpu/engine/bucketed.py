@@ -112,6 +112,7 @@ class BucketedPipeline:
         mean = jnp.asarray(ev.mean)
         flip = ev.flip
         forward = ev._forward_impl
+        mesh, batch_spec = ev.mesh, getattr(ev, "_batch_spec", None)
 
         def program(variables, image_pad, down_payload, up_payload,
                     coords, weights, count):
@@ -151,6 +152,14 @@ class BucketedPipeline:
                     jnp.concatenate([wins, wins[:, :, ::-1]], axis=0)
                     if flip else wins
                 )
+                if mesh is not None:
+                    # Multi-chip SPMD (see SlidingWindowEvaluator mesh/
+                    # partition): window batch or window H sharded.
+                    from jax.sharding import NamedSharding
+
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, NamedSharding(mesh, batch_spec)
+                    )
                 probs = forward(variables, batch)
                 if flip:
                     probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2

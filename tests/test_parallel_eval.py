@@ -95,6 +95,32 @@ def test_mesh_eval_conv_halo_exchange(partition):
     )
 
 
+@pytest.mark.parametrize("partition", ["window", "spatial"])
+def test_mesh_eval_bucketed_matches_single_device(partition):
+    """The variable-shape (ADE20K/VOC) bucketed pipeline honors the mesh
+    the same way the exact-shape pipeline does."""
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+
+    rs = np.random.RandomState(7)
+    variables = {"kernel": jnp.asarray(rs.randn(3, 3, 3, 2), jnp.float32)}
+    kwargs = _kwargs()
+    kwargs["scales"] = [0.75, 1.0]
+    kwargs["base_size"] = 48
+    single = SlidingWindowEvaluator(
+        _ConvModel(), variables, mode="device_bucketed", bucket=32, **kwargs
+    )
+    meshed = SlidingWindowEvaluator(
+        _ConvModel(), variables, mode="device_bucketed", bucket=32,
+        mesh=_mesh(), partition=partition, **kwargs
+    )
+    for shape in [(37, 52), (41, 33)]:
+        image = (rs.rand(*shape, 3) * 255).astype(np.float32)
+        np.testing.assert_allclose(
+            meshed.predict_probs(image), single.predict_probs(image),
+            rtol=1e-5, atol=1e-6, err_msg=f"shape {shape}",
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("partition", ["window", "spatial"])
 def test_mesh_eval_pspnet(partition):

@@ -312,20 +312,29 @@ def _psa_mask_differentiable(input_, psa_type, mask_h, mask_w):
 def _install_differentiable_psa_stub():
     """Install (or override) lib.psa.functional.psa_mask with the
     differentiable implementation. Forward-identical to the numpy-oracle
-    stub, so overriding a previously-installed eval stub is harmless."""
+    stub, so overriding a previously-installed eval stub is harmless.
+
+    Every install site creates a FRESH ``lib.psa.functional`` module
+    object (test_parity/test_recipe_parity), while an already-imported
+    reference ``model.psanet`` keeps its ``PF`` bound to whichever object
+    was live at its import — so patch BOTH sys.modules and the imported
+    model's own ``PF`` reference, else a full-suite run silently leaves
+    the non-differentiable eval stub in the autograd graph (observed: 25%
+    stem-gradient deviation with per-step losses still within tolerance)."""
     import types
 
-    if "lib.psa.functional" in sys.modules:
-        sys.modules["lib.psa.functional"].psa_mask = _psa_mask_differentiable
-        return
-    functional = types.ModuleType("lib.psa.functional")
-    functional.psa_mask = _psa_mask_differentiable
-    lib = types.ModuleType("lib")
-    lib_psa = types.ModuleType("lib.psa")
-    lib_psa.functional = functional
-    sys.modules.setdefault("lib", lib)
-    sys.modules["lib.psa"] = lib_psa
-    sys.modules["lib.psa.functional"] = functional
+    if "lib.psa.functional" not in sys.modules:
+        functional = types.ModuleType("lib.psa.functional")
+        lib = types.ModuleType("lib")
+        lib_psa = types.ModuleType("lib.psa")
+        lib_psa.functional = functional
+        sys.modules.setdefault("lib", lib)
+        sys.modules["lib.psa"] = lib_psa
+        sys.modules["lib.psa.functional"] = functional
+    sys.modules["lib.psa.functional"].psa_mask = _psa_mask_differentiable
+    ref_psanet = sys.modules.get("model.psanet")
+    if ref_psanet is not None:
+        ref_psanet.PF.psa_mask = _psa_mask_differentiable
 
 
 def test_differentiable_psa_stub_matches_oracle(rng):
