@@ -127,7 +127,7 @@ def main():
     t0 = time.perf_counter()
     vals = [probe(jax.device_put(image)) for _ in range(4)]
     _ = [np.asarray(v) for v in vals]
-    link_mbps = 4 * image.nbytes / 1e6 / (time.perf_counter() - t0)
+    link_MB_per_s = 4 * image.nbytes / 1e6 / (time.perf_counter() - t0)
 
     spread = (max(window_rates) - min(window_rates)) / images_per_sec
     print(json.dumps({
@@ -137,7 +137,7 @@ def main():
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "windows": [round(r, 3) for r in window_rates],
         "window_spread": round(spread, 3),
-        "link_mbps": round(link_mbps, 1),
+        "link_MB_per_s": round(link_MB_per_s, 1),
         "input": input_kind,
     }))
 

@@ -112,7 +112,7 @@ class BucketedPipeline:
         mean = jnp.asarray(ev.mean)
         flip = ev.flip
         forward = ev._forward_impl
-        mesh, batch_spec = ev.mesh, getattr(ev, "_batch_spec", None)
+        constrain = ev._constrain_batch
 
         def program(variables, image_pad, down_payload, up_payload,
                     coords, weights, count):
@@ -152,15 +152,7 @@ class BucketedPipeline:
                     jnp.concatenate([wins, wins[:, :, ::-1]], axis=0)
                     if flip else wins
                 )
-                if mesh is not None:
-                    # Multi-chip SPMD (see SlidingWindowEvaluator mesh/
-                    # partition): window batch or window H sharded.
-                    from jax.sharding import NamedSharding
-
-                    batch = jax.lax.with_sharding_constraint(
-                        batch, NamedSharding(mesh, batch_spec)
-                    )
-                probs = forward(variables, batch)
+                probs = forward(variables, constrain(batch))
                 if flip:
                     probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2
 

@@ -183,6 +183,18 @@ class SlidingWindowEvaluator:
             x = x / jnp.asarray(self.std)
         return x
 
+    def _constrain_batch(self, batch):
+        """Apply the multi-chip GSPMD sharding (window batch on 'data', or
+        each window's H axis for spatial partitioning). No-op without a
+        mesh. Trace-time only — call inside a jitted program."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding
+
+        return jax.lax.with_sharding_constraint(
+            batch, NamedSharding(self.mesh, self._batch_spec)
+        )
+
     def _forward_impl(self, variables, images):
         """images: [B, crop_h, crop_w, 3] raw 0-255 RGB -> probs [B,...,C]."""
         logits = self.model.apply(variables, self._normalize(images), train=False)
@@ -264,7 +276,7 @@ class SlidingWindowEvaluator:
         mean = jnp.asarray(self.mean)
         flip = self.flip
         model_apply = self._forward_impl
-        mesh, batch_spec = self.mesh, getattr(self, "_batch_spec", None)
+        constrain = self._constrain_batch
 
         def scale_fn(variables, image):
             # Accept uint8 uploads (4x less host->device traffic) and cast
@@ -294,16 +306,7 @@ class SlidingWindowEvaluator:
                     if flip
                     else wins
                 )
-                if mesh is not None:
-                    # Multi-chip SPMD: shard the window forwards over the
-                    # mesh (window batch on 'data', or each window's H
-                    # axis for spatial partitioning with halo exchange).
-                    from jax.sharding import NamedSharding
-
-                    batch = jax.lax.with_sharding_constraint(
-                        batch, NamedSharding(mesh, batch_spec)
-                    )
-                probs = model_apply(variables, batch)
+                probs = model_apply(variables, constrain(batch))
                 if flip:
                     probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2
 

@@ -87,7 +87,22 @@ def run(dtype_name: str, steps: int, train_set, val_set, seed=0):
     from semseg_tpu.utils.metrics import summarize
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    model = PSPNet(layers=50, classes=CLASSES, zoom_factor=8, dtype=dtype)
+    arch = os.environ.get("CONVERGENCE_ARCH", "psp")
+    if arch == "psa":
+        # PSANet: additionally licenses the bf16 PSA attention path (the
+        # fused Pallas kernel's bf16 A containers) — mask dims derived as
+        # the train driver derives them (reference tool/train.py:70-72).
+        from semseg_tpu.models import PSANet
+
+        mask = 2 * ((CROP - 1) // (8 * 2) + 1) - 1
+        model = PSANet(
+            layers=50, classes=CLASSES, zoom_factor=8, dtype=dtype,
+            psa_type=2, compact=False, shrink_factor=2,
+            mask_h=mask, mask_w=mask, normalization_factor=1.0,
+            psa_softmax=True,
+        )
+    else:
+        model = PSPNet(layers=50, classes=CLASSES, zoom_factor=8, dtype=dtype)
     # identical init across dtypes: params are f32 either way
     state = create_train_state(
         model, jax.random.PRNGKey(seed),
@@ -157,6 +172,7 @@ def main():
     bf16 = results["bfloat16"][-1][1]
     print(json.dumps({
         "metric": "bf16_vs_f32_val_mIoU_gap",
+        "arch": os.environ.get("CONVERGENCE_ARCH", "psp"),
         "steps": steps,
         "f32_final": round(f32, 4),
         "bf16_final": round(bf16, 4),

@@ -116,7 +116,13 @@ def run(cfg):
                     f"eval_devices={n_eval} but only "
                     f"{jax.device_count()} devices attached"
                 )
-            if n_eval > 1:
+            if mode == "host":
+                logger.warning(
+                    "eval_devices is ignored by the host pipeline "
+                    "(cv2/numpy reference path runs single-chip); use "
+                    "eval_pipeline device/device_bucketed for multi-chip"
+                )
+            elif n_eval > 1:
                 eval_mesh = Mesh(
                     np.asarray(jax.devices()[:n_eval]), (DATA_AXIS,)
                 )
