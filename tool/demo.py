@@ -40,7 +40,7 @@ def main():
     # Demo-only keys accepted through the generic KEY VALUE stream even
     # though they are not part of the experiment YAML schema.
     for extra in ("image", "allow_random_weights", "eval_pipeline",
-                  "window_batch"):
+                  "window_batch", "eval_devices", "eval_partition"):
         if extra in opts:
             idx = opts.index(extra)
             from semseg_tpu.config import _decode_value
@@ -91,12 +91,29 @@ def run(cfg):
     else:
         raise RuntimeError(f"=> no checkpoint found at '{cfg.model_path}'")
 
+    # Single-image multi-chip: `eval_devices N eval_partition spatial`
+    # splits each window's convolutions across chips (GSPMD halo
+    # exchange) — the latency-oriented layout for one huge image.
+    eval_mesh = None
+    n_eval = cfg.get("eval_devices")
+    if n_eval:
+        from jax.sharding import Mesh
+
+        from semseg_tpu.parallel.mesh import DATA_AXIS
+
+        n_eval = jax.device_count() if n_eval == "all" else int(n_eval)
+        if n_eval > 1:
+            import numpy as _np
+
+            eval_mesh = Mesh(_np.asarray(jax.devices()[:n_eval]), (DATA_AXIS,))
     evaluator = SlidingWindowEvaluator(
         model, variables,
         classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
         mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
         window_batch=cfg.get("window_batch") or 8,
         mode=cfg.get("eval_pipeline") or "device",
+        mesh=eval_mesh,
+        partition=cfg.get("eval_partition") or "window",
     )
 
     image_path = cfg.image
