@@ -468,3 +468,26 @@ def test_demo_driver(synth_dataset, tmp_path):
     assert gray.shape == (30, 40)
     assert os.path.isfile(img_path.replace(".png", "_gray.png"))
     assert os.path.isfile(img_path.replace(".png", "_color.png"))
+
+
+def test_demo_driver_mesh_matches_single_device(synth_dataset, tmp_path):
+    """The demo's `eval_devices`/`eval_partition` flags (single-image
+    multi-chip spatial partitioning) must reproduce the single-device
+    prediction exactly — same weights (fixed PRNG seed in smoke mode),
+    same image, 8-device CPU mesh."""
+    demo_tool = _load_tool("demo")
+    img_path = os.path.join(synth_dataset["data_root"], "img1.png")
+    colors_path = tmp_path / "colors.txt"
+    colors_path.write_text("0 0 0\n255 0 0\n0 255 0\n0 0 255\n")
+    base = dict(
+        arch="psp", layers=50, classes=4, zoom_factor=8,
+        train_h=25, train_w=25, test_h=25, test_w=25,
+        base_size=30, scales=[1.0], model_path="/nonexistent",
+        allow_random_weights=True, image=img_path,
+        colors_path=str(colors_path), window_batch=4,
+    )
+    gray_single = demo_tool.run(Config(dict(base)))
+    gray_mesh = demo_tool.run(Config(dict(
+        base, eval_devices=8, eval_partition="spatial",
+    )))
+    np.testing.assert_array_equal(gray_mesh, gray_single)
