@@ -70,6 +70,9 @@ EXTENSION_KEYS = frozenset({
     "remat", "image", "allow_random_weights", "image_wire_dtype",
     "eval_bucket", "matmul_precision", "fused_attention", "async_save",
     "eval_devices", "eval_partition",
+    # tool/export.py (serving artifacts) / tool/serve.py (HTTP server)
+    "export_path", "export_format", "export_output", "export_platforms",
+    "serve_port",
 })
 
 

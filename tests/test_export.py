@@ -1,0 +1,111 @@
+"""Serving-export round trip (StableHLO deployment artifacts).
+
+The artifact contract (``semseg_tpu/engine/export.py``): a serialized
+``jax.export`` program with weights baked in, batch-polymorphic, loadable
+with plain jax (no model code). Pinned here: a checkpoint exported through
+the ``tool/export.py`` driver reloads via ``load_serving`` and reproduces
+the in-framework eval forward bit-for-bit at two different batch sizes.
+
+Reference counterpart: none — deployment there means re-running
+``tool/test.py`` with the framework + model source + ``.pth``
+(``/root/reference/tool/test.py:99-116``); this capability exceeds it.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        f"tool_{name}", os.path.join(REPO, "tool", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_serving_export_round_trip(tmp_path):
+    from semseg_tpu.engine.checkpoint import load_model_variables, save_checkpoint
+    from semseg_tpu.engine.export import load_serving, make_serving_fn
+    from semseg_tpu.engine.trainer import create_train_state
+    from semseg_tpu.models.build import build_model
+
+    cfg = Config(dict(
+        arch="psp", layers=50, classes=4, zoom_factor=8,
+        train_h=25, train_w=25,
+        model_path="", export_path=str(tmp_path / "serving.shlo"),
+    ))
+    model, _ = build_model(cfg, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(3), jnp.zeros((1, 25, 25, 3), jnp.float32)
+    )
+    cfg["model_path"] = save_checkpoint(str(tmp_path / "ckpt"), 1, state)
+
+    out = _load_tool("export").run(cfg)
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+
+    # Reload with plain jax — no model class, no checkpoint.
+    serve = load_serving(out)
+
+    value_scale = 255
+    mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
+    std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
+    variables = jax.tree.map(
+        jnp.asarray, load_model_variables(cfg.model_path, "psp", 50)
+    )
+    direct = jax.jit(make_serving_fn(model, variables, mean=mean, std=std))
+
+    rs = np.random.RandomState(0)
+    # Two batch sizes through ONE artifact: the exported program's
+    # leading dim is symbolic.
+    for batch in (1, 3):
+        x = (rs.rand(batch, 25, 25, 3) * 255).astype(np.float32)
+        got = np.asarray(serve(x))
+        want = np.asarray(direct(x))
+        assert got.shape == (batch, 25, 25, 4)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        # probs: rows sum to 1
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_serving_export_pred_output(tmp_path):
+    """`export_output pred` serves the uint8 argmax wire format."""
+    from semseg_tpu.engine.checkpoint import save_checkpoint
+    from semseg_tpu.engine.export import (
+        export_serving,
+        load_serving,
+        save_serving,
+    )
+    from semseg_tpu.engine.trainer import create_train_state
+    from semseg_tpu.models.build import build_model
+
+    cfg = Config(dict(arch="psp", layers=50, classes=4, zoom_factor=8,
+                      train_h=25, train_w=25))
+    model, _ = build_model(cfg, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(4), jnp.zeros((1, 25, 25, 3), jnp.float32)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    exported = export_serving(
+        model, variables, crop_h=25, crop_w=25,
+        mean=[124.0, 116.0, 104.0], std=None, output="pred",
+    )
+    path = str(tmp_path / "pred.shlo")
+    save_serving(path, exported)
+    serve = load_serving(path)
+    x = (np.random.RandomState(1).rand(2, 25, 25, 3) * 255).astype(np.float32)
+    pred = np.asarray(serve(x))
+    assert pred.shape == (2, 25, 25) and pred.dtype == np.uint8
+    assert pred.max() < 4

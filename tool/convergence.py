@@ -74,7 +74,11 @@ def make_dataset(seed, n):
     return images, labels
 
 
-def run(dtype_name: str, steps: int, train_set, val_set, seed=0):
+def run(dtype_name: str, steps: int, train_set, val_set, seed=0,
+        init_variables=None):
+    """One training arm. ``init_variables`` (optional plain-dict
+    {"params", "batch_stats"}) overrides the random init — used by
+    convergence_cross.py to start from the torch reference's init."""
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +112,16 @@ def run(dtype_name: str, steps: int, train_set, val_set, seed=0):
         model, jax.random.PRNGKey(seed),
         jnp.zeros((BATCH, CROP, CROP, 3), jnp.float32),
     )
+    if init_variables is not None:
+        from semseg_tpu.engine.trainer import TrainState
+
+        state = TrainState(
+            params=jax.tree.map(jnp.asarray, init_variables["params"]),
+            batch_stats=jax.tree.map(
+                jnp.asarray, init_variables["batch_stats"]
+            ),
+            opt=state.opt, step=state.step,
+        )
     value_scale = 255
     mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
     std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]

@@ -1,0 +1,187 @@
+"""Cross-framework convergence equivalence: our trainer vs the torch
+reference train loop.
+
+The deepest SURVEY.md promise — mIoU parity at the published recipes —
+cannot be measured directly on this box (no ADE20K/VOC/Cityscapes data,
+zero egress). The strongest proxies, in increasing strength:
+
+1. eval logit parity at recipe scale (tests/test_recipe_parity.py),
+2. 10-step lockstep trajectory parity (tests/test_train_lockstep.py),
+3. THIS: full-horizon convergence equivalence — train the reference's
+   torch PSPNet50 with the reference's own loop semantics
+   (/root/reference/tool/train.py:247-340: poly LR after step, x1/x10
+   param groups, torch SGD update order, train-mode BN, Dropout2d) and
+   OUR train step from the IDENTICAL converted init on the IDENTICAL
+   batch sequence and recipe hyperparameters, and compare held-out
+   val-mIoU trajectories after several hundred SGD steps.
+
+Lockstep (2) pins per-step numerics but only over 10 steps; this run
+shows the two frameworks' training dynamics reach the same quality at a
+horizon where f32 reduction-order noise and independent Dropout2d
+streams have fully decorrelated the trajectories — i.e. the *recipes*
+are equivalent, not just the first steps. Pass: final gap < 1.0 point
+(the same criterion the bf16-vs-f32 license uses).
+
+The torch arm runs FIRST and to completion before any JAX compute (this
+box corrupts in-flight XLA:CPU buffers when torch OMP work overlaps —
+see CLAUDE.md); the JAX arm then runs on whatever platform is default
+(the real TPU under axon).
+
+Usage:  python tool/convergence_cross.py [STEPS]   (default 300)
+Prints one JSON line per eval point and a final summary line; append the
+summary to CONVERGENCE_r03.jsonl for the record.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from tool.convergence import (
+    AUX_W,
+    BASE_LR,
+    BATCH,
+    CLASSES,
+    CROP,
+    EVAL_EVERY,
+    MOMENTUM,
+    WD,
+    make_dataset,
+    run,
+)
+
+REFERENCE = "/root/reference"
+
+VALUE_SCALE = 255
+MEAN = np.array([0.485, 0.456, 0.406], np.float32) * VALUE_SCALE
+STD = np.array([0.229, 0.224, 0.225], np.float32) * VALUE_SCALE
+
+
+def run_torch(steps: int, train_set, val_set, seed: int = 0):
+    """Reference-recipe torch training (single process == one replica;
+    DDP loss semantics reduce to the plain valid-pixel mean). Returns
+    (trajectory, init_state_dict)."""
+    import torch
+    import torch.nn as nn
+
+    from semseg_tpu.utils.metrics import intersection_and_union, summarize
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from model.pspnet import PSPNet as TorchPSPNet
+
+    torch.manual_seed(seed)
+    model = TorchPSPNet(
+        layers=50, classes=CLASSES, zoom_factor=8, pretrained=False,
+        criterion=nn.CrossEntropyLoss(ignore_index=255),
+    )
+    init_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+    # Reference optimizer groups (tool/train.py:125-140): backbone at
+    # base_lr, new modules (ppm, cls, aux) at 10x.
+    modules_ori = [model.layer0, model.layer1, model.layer2, model.layer3,
+                   model.layer4]
+    modules_new = [model.ppm, model.cls, model.aux]
+    params_list = [dict(params=m.parameters(), lr=BASE_LR)
+                   for m in modules_ori]
+    params_list += [dict(params=m.parameters(), lr=BASE_LR * 10)
+                    for m in modules_new]
+    opt = torch.optim.SGD(params_list, lr=BASE_LR, momentum=MOMENTUM,
+                          weight_decay=WD)
+
+    tr_images, tr_labels = train_set
+    va_images, va_labels = val_set
+
+    def normalize_nchw(images):
+        x = (images - MEAN) / STD
+        return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+    def val_miou():
+        model.eval()
+        inter_sum = None
+        with torch.no_grad():
+            for s in range(0, len(va_images), BATCH):
+                logits = model(normalize_nchw(va_images[s:s + BATCH]))
+                pred = logits.argmax(1).numpy()
+                inter, union, target = intersection_and_union(
+                    pred, va_labels[s:s + BATCH].astype(np.int64), CLASSES, 255
+                )
+                if inter_sum is None:
+                    inter_sum, union_sum, target_sum = inter, union, target
+                else:
+                    inter_sum = inter_sum + inter
+                    union_sum = union_sum + union
+                    target_sum = target_sum + target
+        model.train()
+        m_iou, _, _ = summarize(inter_sum, union_sum, target_sum)
+        return float(m_iou)
+
+    model.train()
+    rs = np.random.RandomState(seed + 1)  # same index stream as the JAX arm
+    trajectory = []
+    t0 = time.time()
+    for step in range(steps):
+        idx = rs.randint(0, len(tr_images), BATCH)
+        x = normalize_nchw(tr_images[idx])
+        y = torch.from_numpy(tr_labels[idx].astype(np.int64))
+        _, main_loss, aux_loss = model(x, y)
+        loss = main_loss + AUX_W * aux_loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        # Reference poly-LR timing (tool/train.py:299-304): the LR for the
+        # NEXT iteration is installed after stepping.
+        next_lr = BASE_LR * (1 - float(step + 1) / steps) ** 0.9
+        for gi in range(len(modules_ori)):
+            opt.param_groups[gi]["lr"] = next_lr
+        for gi in range(len(modules_ori), len(params_list)):
+            opt.param_groups[gi]["lr"] = next_lr * 10
+        if (step + 1) % EVAL_EVERY == 0 or step + 1 == steps:
+            miou = val_miou()
+            trajectory.append((step + 1, miou))
+            print(json.dumps({
+                "framework": "torch_reference", "step": step + 1,
+                "val_mIoU": round(miou, 4),
+                "loss": round(float(loss.detach()), 4),
+                "elapsed_s": round(time.time() - t0, 1),
+            }), flush=True)
+    return trajectory, init_sd
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    train_set = make_dataset(0, 256)
+    val_set = make_dataset(1, 64)
+
+    # Torch arm first, to completion (no overlapping XLA work).
+    torch_traj, init_sd = run_torch(steps, train_set, val_set)
+
+    from semseg_tpu.models.convert import convert_torch_state_dict
+
+    variables, unused = convert_torch_state_dict(init_sd, "psp", 50)
+    assert not unused, unused
+
+    ours_traj = run("float32", steps, train_set, val_set,
+                    init_variables=variables)
+
+    ref_final = torch_traj[-1][1]
+    ours_final = ours_traj[-1][1]
+    print(json.dumps({
+        "metric": "cross_framework_val_mIoU_gap",
+        "arch": "psp",
+        "steps": steps,
+        "torch_reference_final": round(ref_final, 4),
+        "ours_f32_final": round(ours_final, 4),
+        "gap_points": round((ref_final - ours_final) * 100, 2),
+        "pass": abs(ref_final - ours_final) < 0.01,
+        "torch_trajectory": [[s, round(m, 4)] for s, m in torch_traj],
+        "ours_trajectory": [[s, round(m, 4)] for s, m in ours_traj],
+    }))
+
+
+if __name__ == "__main__":
+    main()
