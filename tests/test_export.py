@@ -80,6 +80,40 @@ def test_serving_export_round_trip(tmp_path):
         np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
 
 
+def test_serving_export_multi_platform(tmp_path):
+    """`export_platforms ['cpu','tpu']` emits ONE artifact lowered for
+    both backends (jax.export cross-platform lowering — no TPU needed at
+    export time); it must still execute on the CPU test backend."""
+    from semseg_tpu.engine.export import (
+        export_serving,
+        load_serving,
+        save_serving,
+    )
+    from semseg_tpu.engine.trainer import create_train_state
+    from semseg_tpu.models.build import build_model
+
+    cfg = Config(dict(arch="psp", layers=50, classes=4, zoom_factor=8,
+                      train_h=25, train_w=25))
+    model, _ = build_model(cfg, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(5), jnp.zeros((1, 25, 25, 3), jnp.float32)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    exported = export_serving(
+        model, variables, crop_h=25, crop_w=25,
+        mean=[124.0, 116.0, 104.0], std=[58.0, 57.0, 57.0],
+        platforms=("cpu", "tpu"),
+    )
+    assert sorted(exported.platforms) == ["cpu", "tpu"]
+    path = str(tmp_path / "multi.shlo")
+    save_serving(path, exported)
+    serve = load_serving(path)
+    x = (np.random.RandomState(2).rand(2, 25, 25, 3) * 255).astype(np.float32)
+    probs = np.asarray(serve(x))
+    assert probs.shape == (2, 25, 25, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
 def test_serving_export_pred_output(tmp_path):
     """`export_output pred` serves the uint8 argmax wire format."""
     from semseg_tpu.engine.checkpoint import save_checkpoint

@@ -11,6 +11,7 @@ import io
 import json
 import os
 import threading
+import urllib.error
 import urllib.request
 
 import cv2
@@ -102,6 +103,20 @@ def test_serve_end_to_end(tmp_path):
 
         pal = Image.open(io.BytesIO(body))
         np.testing.assert_array_equal(np.asarray(pal), gray)
+
+        # error paths: unknown route -> 404; undecodable body -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=30
+            )
+        assert e.value.code == 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=b"not an image", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
     finally:
         server.shutdown()
         server.server_close()
