@@ -36,9 +36,11 @@ see CLAUDE.md); the JAX arm then runs on whatever platform is default
 (the real TPU under axon).
 
 Usage:
-    python tool/convergence_cross.py [STEPS] [--seed K]   one seed
-    python tool/convergence_cross.py --band                summarize all
-                                                           recorded seeds
+    python tool/convergence_cross.py [STEPS] [--seed K] [--arch psp|psa]
+        — one seed (psa uses the differentiable psamask oracle on the
+          torch side, pinned to the C++ reference semantics)
+    python tool/convergence_cross.py --band [--arch psp|psa]
+        — summarize all recorded seeds of that arch
 Per-seed runs append their summary line to CONVERGENCE_r03.jsonl
 directly (long runs must persist promptly on this box); --band reads
 those lines back and appends the multi-seed band summary.
@@ -73,10 +75,14 @@ MEAN = np.array([0.485, 0.456, 0.406], np.float32) * VALUE_SCALE
 STD = np.array([0.229, 0.224, 0.225], np.float32) * VALUE_SCALE
 
 
-def run_torch(steps: int, train_set, val_set, seed: int = 0):
+def run_torch(steps: int, train_set, val_set, seed: int = 0,
+              arch: str = "psp"):
     """Reference-recipe torch training (single process == one replica;
     DDP loss semantics reduce to the plain valid-pixel mean). Returns
-    (trajectory, init_state_dict)."""
+    (trajectory, init_state_dict). ``arch`` 'psa' uses the reference
+    PSANet with the differentiable psamask oracle (the op is linear with
+    a fixed 0/1 scatter pattern — tests/test_train_lockstep.py, itself
+    pinned to the C++ semantics of psamask.cpp:11-61)."""
     import torch
     import torch.nn as nn
 
@@ -84,20 +90,42 @@ def run_torch(steps: int, train_set, val_set, seed: int = 0):
 
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
-    from model.pspnet import PSPNet as TorchPSPNet
 
     torch.manual_seed(seed)
-    model = TorchPSPNet(
-        layers=50, classes=CLASSES, zoom_factor=8, pretrained=False,
-        criterion=nn.CrossEntropyLoss(ignore_index=255),
-    )
+    criterion = nn.CrossEntropyLoss(ignore_index=255)
+    if arch == "psa":
+        from tests.test_train_lockstep import (
+            _install_differentiable_psa_stub,
+        )
+
+        _install_differentiable_psa_stub()
+        from model.psanet import PSANet as TorchPSANet
+
+        # mask dims as the train driver derives them for crop 97/shrink 2
+        # (reference tool/train.py:70-72) — must match the JAX arm
+        # (tool/convergence.py).
+        mask = 2 * ((CROP - 1) // (8 * 2) + 1) - 1
+        model = TorchPSANet(
+            layers=50, classes=CLASSES, zoom_factor=8, pretrained=False,
+            psa_type=2, compact=False, shrink_factor=2,
+            mask_h=mask, mask_w=mask, normalization_factor=1.0,
+            psa_softmax=True, criterion=criterion,
+        )
+        modules_new = [model.psa, model.cls, model.aux]
+    else:
+        from model.pspnet import PSPNet as TorchPSPNet
+
+        model = TorchPSPNet(
+            layers=50, classes=CLASSES, zoom_factor=8, pretrained=False,
+            criterion=criterion,
+        )
+        modules_new = [model.ppm, model.cls, model.aux]
     init_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
 
     # Reference optimizer groups (tool/train.py:125-140): backbone at
-    # base_lr, new modules (ppm, cls, aux) at 10x.
+    # base_lr, new modules (ppm|psa, cls, aux) at 10x.
     modules_ori = [model.layer0, model.layer1, model.layer2, model.layer3,
                    model.layer4]
-    modules_new = [model.ppm, model.cls, model.aux]
     params_list = [dict(params=m.parameters(), lr=BASE_LR)
                    for m in modules_ori]
     params_list += [dict(params=m.parameters(), lr=BASE_LR * 10)
@@ -156,7 +184,7 @@ def run_torch(steps: int, train_set, val_set, seed: int = 0):
             miou = val_miou()
             trajectory.append((step + 1, miou))
             print(json.dumps({
-                "framework": "torch_reference", "step": step + 1,
+                "framework": "torch_reference", "arch": arch, "step": step + 1,
                 "val_mIoU": round(miou, 4),
                 "loss": round(float(loss.detach()), 4),
                 "elapsed_s": round(time.time() - t0, 1),
@@ -168,7 +196,7 @@ RECORD = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "CONVERGENCE_r03.jsonl")
 
 
-def summarize_band():
+def summarize_band(arch: str = "psp"):
     """Read all per-seed cross-framework summary lines from the record
     and append the multi-seed band comparison. Pass: our final-mIoU band
     is not worse than the reference's — mean(ours) >= mean(torch) - 1pt
@@ -177,7 +205,8 @@ def summarize_band():
     with open(RECORD) as f:
         for line in f:
             rec = json.loads(line)
-            if rec.get("metric") == "cross_framework_val_mIoU_gap":
+            if rec.get("metric") == "cross_framework_val_mIoU_gap" \
+                    and rec.get("arch", "psp") == arch:
                 recs.append(rec)
     # only compare seeds run to the same (longest recorded) horizon —
     # short smoke runs must not dilute the band
@@ -191,7 +220,7 @@ def summarize_band():
         or o.min() >= t.max()
     summary = {
         "metric": "cross_framework_band",
-        "arch": "psp",
+        "arch": arch,
         "steps": horizon,
         "seeds": seeds,
         "torch_finals": [round(v, 4) for v in torch_finals],
@@ -210,24 +239,31 @@ def summarize_band():
 
 
 def main():
-    if "--band" in sys.argv:
-        summarize_band()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", choices=("psp", "psa"), default="psp")
+    ap.add_argument("--band", action="store_true")
+    ns = ap.parse_args()
+    arch, steps, seed = ns.arch, ns.steps, ns.seed
+    if ns.band:
+        summarize_band(arch)
         return
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    steps = int(args[0]) if args else 300
-    seed = int(sys.argv[sys.argv.index("--seed") + 1]) \
-        if "--seed" in sys.argv else 0
     train_set = make_dataset(0, 256)
     val_set = make_dataset(1, 64)
 
     # Torch arm first, to completion (no overlapping XLA work).
-    torch_traj, init_sd = run_torch(steps, train_set, val_set, seed=seed)
+    torch_traj, init_sd = run_torch(steps, train_set, val_set, seed=seed,
+                                    arch=arch)
 
     from semseg_tpu.models.convert import convert_torch_state_dict
 
-    variables, unused = convert_torch_state_dict(init_sd, "psp", 50)
+    variables, unused = convert_torch_state_dict(init_sd, arch, 50)
     assert not unused, unused
 
+    os.environ["CONVERGENCE_ARCH"] = arch  # run() builds the same arch
     ours_traj = run("float32", steps, train_set, val_set, seed=seed,
                     init_variables=variables)
 
@@ -235,7 +271,7 @@ def main():
     ours_final = ours_traj[-1][1]
     line = json.dumps({
         "metric": "cross_framework_val_mIoU_gap",
-        "arch": "psp",
+        "arch": arch,
         "seed": seed,
         "steps": steps,
         "torch_reference_final": round(ref_final, 4),
