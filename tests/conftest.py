@@ -10,9 +10,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session default is the TPU
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU relay plugin
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 virtual devices serialize onto ONE physical core here; a partition
+    # can reach a cross-module all-reduce minutes after its peers. XLA's
+    # default 40 s rendezvous termination timeout then aborts the whole
+    # process (observed: "only 5 of 8 arrived" in the train-step psum).
+    # These timeouts exist to catch real deadlocks, not slow hosts — give
+    # the oversubscribed mesh room.
+    _flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -27,7 +27,13 @@ _WORKER = textwrap.dedent(
     pid = int(sys.argv[1]); port = sys.argv[2]
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        # 2 procs x 2 virtual devices on one physical core: outlast XLA's
+        # 40 s collective rendezvous kill-switch (see tests/conftest.py).
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    )
     sys.path.insert(0, os.environ["SEMSEG_REPO"])
     import jax
     jax.config.update("jax_platforms", "cpu")
