@@ -96,19 +96,38 @@ def main():
     # Median of several timed windows: the tunneled link's bandwidth
     # fluctuates (measured 15-45 MB/s over minutes, with transient stalls);
     # the median window resists a stall poisoning the whole measurement.
-    # Windows are SPACED tens of seconds apart so the capture spans ~5
-    # minutes of link weather: an observed degraded period lasted several
-    # minutes and covered an entire back-to-back capture (all 7 windows
-    # 1.7-3.2 img/s while a probe minutes later showed the same pipeline
-    # at 5.3 with 6% spread) — consecutive windows are correlated samples
-    # of the same weather, spaced ones are not.
+    # Windows are SPACED tens of seconds apart so the capture spans several
+    # minutes of link weather: an observed degraded period lasted minutes
+    # and covered an entire back-to-back capture — consecutive windows are
+    # correlated samples of the same weather, spaced ones are not.
+    #
+    # Each window is tagged healthy/degraded by its OWN link-bandwidth
+    # probe (an upload burst timed right after the window): the pipeline
+    # is upload-bound on this relay (~6.3 MB/image vs ~140 ms compute), so
+    # a slow window under a slow probe is link weather, not chip speed.
+    # The capture adaptively extends until enough healthy windows are
+    # collected (or the window cap is hit); the headline is the median of
+    # the healthy windows, with the full tagged list recorded.
     # Async dispatch pipelines upload/compute/readback across images.
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
     n_windows = int(os.environ.get("BENCH_WINDOWS", "9"))
+    max_windows = int(os.environ.get("BENCH_MAX_WINDOWS", "16"))
+    min_healthy = int(os.environ.get("BENCH_MIN_HEALTHY", "7"))
+    link_floor = float(os.environ.get("BENCH_LINK_FLOOR_MB_S", "40"))
     gap_s = float(os.environ.get("BENCH_WINDOW_GAP_S", "25"))
-    window_rates = []
-    for k in range(n_windows):
-        if k:
+
+    probe_fn = jax.jit(lambda x: x.sum())
+    np.asarray(probe_fn(jax.device_put(image)))  # compile outside timing
+
+    def probe_link_MB_per_s(n_uploads=3):
+        t0 = time.perf_counter()
+        vals = [probe_fn(jax.device_put(image)) for _ in range(n_uploads)]
+        _ = [np.asarray(v) for v in vals]
+        return n_uploads * image.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    window_rates, window_links = [], []
+    while len(window_rates) < max_windows:
+        if window_rates:
             time.sleep(gap_s)
         start = time.perf_counter()
         pending = [evaluator.predict_async(image) for _ in range(n_iters)]
@@ -116,28 +135,38 @@ def main():
         elapsed = time.perf_counter() - start
         assert all(r.shape == (1024, 2048) for r in results)
         window_rates.append(n_iters / elapsed)
-    images_per_sec = float(np.median(window_rates))
+        window_links.append(probe_link_MB_per_s())
+        n_healthy = sum(1 for b in window_links if b >= link_floor)
+        if len(window_rates) >= n_windows and n_healthy >= min_healthy:
+            break
 
-    # Link-bandwidth probe (not part of the metric): the pipeline is
-    # upload-bound on this relay (~6.3 MB/image vs ~140 ms compute), so a
-    # degraded capture is explained by a degraded link. Recording the
-    # probe makes the weather visible next to the number it gates.
-    probe = jax.jit(lambda x: x.sum())
-    np.asarray(probe(jax.device_put(image)))
-    t0 = time.perf_counter()
-    vals = [probe(jax.device_put(image)) for _ in range(4)]
-    _ = [np.asarray(v) for v in vals]
-    link_MB_per_s = 4 * image.nbytes / 1e6 / (time.perf_counter() - t0)
-
+    healthy = [b >= link_floor for b in window_links]
+    healthy_rates = [r for r, h in zip(window_rates, healthy) if h]
+    # Fewer than 3 healthy windows = the whole capture ran under bad
+    # weather; fall back to the all-windows median rather than trusting
+    # a tiny sample (the tagged list shows what happened either way).
+    scored = healthy_rates if len(healthy_rates) >= 3 else window_rates
+    images_per_sec = float(np.median(scored))
     spread = (max(window_rates) - min(window_rates)) / images_per_sec
+    healthy_spread = (
+        (max(healthy_rates) - min(healthy_rates)) / images_per_sec
+        if healthy_rates else None
+    )
     print(json.dumps({
         "metric": "cityscapes_1024x2048_ss_inference_pspnet50",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "windows": [round(r, 3) for r in window_rates],
+        "window_links_MB_per_s": [round(b, 1) for b in window_links],
+        "window_healthy": healthy,
+        "n_healthy": len(healthy_rates),
+        "link_floor_MB_per_s": link_floor,
         "window_spread": round(spread, 3),
-        "link_MB_per_s": round(link_MB_per_s, 1),
+        "healthy_window_spread": (
+            None if healthy_spread is None else round(healthy_spread, 3)
+        ),
+        "link_MB_per_s": round(float(np.median(window_links)), 1),
         "input": input_kind,
     }))
 

@@ -72,6 +72,7 @@ EXTENSION_KEYS = frozenset({
     "eval_devices", "eval_partition",
     # tool/export.py (serving artifacts) / tool/serve.py (HTTP server)
     "export_path", "export_format", "export_output", "export_platforms",
+    "export_scope", "export_h", "export_w",
     "serve_port",
 })
 

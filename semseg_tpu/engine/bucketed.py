@@ -10,16 +10,27 @@ shape-dependent as runtime data:
 - the original image is zero-padded to an output bucket [OHB, OWB];
 - the scale resize and the final prob resize are separable half-pixel
   interpolations whose index/weight vectors are built on host per image
-  and turned into one-hot matmul matrices on device — static bucket
-  shapes, dynamic true sizes (zero rows beyond the live region);
-- mean padding of the canvas is a validity mask built from traced size
-  scalars;
-- window coordinates / weights / count map are traced inputs, with the
-  chunk count bucketed (zero-weight padding chunks).
+  and turned into one-hot matmul matrices ON DEVICE, ONCE per
+  (in_size, out_size, caps, offsets) pair — the built [out_cap, in_cap]
+  matrices are cached as device buffers and passed by reference, so a
+  dispatch re-broadcasts nothing (static bucket shapes, dynamic true
+  sizes: zero rows beyond the live region);
+- mean padding of the canvas is a validity mask recovered from the interp
+  matrices themselves (live rows have weight-sum 1, dead rows 0);
+- window coordinates / weights are traced inputs with the chunk count
+  bucketed (zero-weight padding chunks); the per-pixel window-coverage
+  count is separable (the grid is a cartesian product of row/col
+  origins), so only two 1-D vectors ride the wire — the round-3 dense
+  [CHB, CWB, 1] f32 upload cost whole milliseconds-to-seconds per
+  image/scale on the 25-58 MB/s relay (e.g. 1.3 MB at 512x640).
 
 Program cache key: (canvas bucket, out bucket, chunk bucket) — a handful
 of programs for a whole dataset. Per image the host uploads the uint8
-image once plus a few KB of indices; one uint8 argmax map is read back.
+image once plus (on first sight of an exact (h, w, scale)) a few KB of
+indices; repeat sizes hit the device-input cache and upload only the
+image. One uint8 argmax map is read back. ``bytes_uploaded`` counts every
+host->device byte this pipeline moves, so transfer cost is measurable
+(tool/perf_report.py reports bytes/image).
 """
 
 from __future__ import annotations
@@ -88,6 +99,20 @@ def _matrix_from_payload(lo, hi, w_lo, valid, in_cap: int):
     return m * valid[:, None]
 
 
+def _count_vectors(coords, crop_h, crop_w, chb, cwb):
+    """Separable window-coverage count: the sliding grid is a cartesian
+    product of row/col origins, so count[y, x] = rows[y] * cols[x]. Two
+    1-D vectors replace the dense [CHB, CWB, 1] upload (same trick as the
+    exact-shape pipeline, evaluator.py)."""
+    rows = np.zeros(chb, np.float32)
+    cols = np.zeros(cwb, np.float32)
+    for s_h in sorted({c[0] for c in coords}):
+        rows[s_h:s_h + crop_h] += 1.0
+    for s_w in sorted({c[1] for c in coords}):
+        cols[s_w:s_w + crop_w] += 1.0
+    return rows, cols
+
+
 class BucketedPipeline:
     """Per-scale bucketed program factory + runner. Used by
     SlidingWindowEvaluator in ``device_bucketed`` mode.
@@ -103,6 +128,42 @@ class BucketedPipeline:
         self.ev = evaluator
         self.bucket = int(bucket)
         self._programs = {}
+        # Device-resident caches. Interp matrices are keyed by exact
+        # (in, out, caps, offsets) so they are shared across images and
+        # across the down/up roles; per-(h, w, scale) input bundles make
+        # repeat sizes upload nothing but the image itself.
+        self._matrices = {}
+        self._scale_inputs = {}
+        self._matrix_cache_cap = 64     # <= ~8 MB each; bounds HBM
+        self._inputs_cache_cap = 512    # KB-sized bundles
+        self.bytes_uploaded = 0         # every host->device byte we move
+
+    def _to_dev(self, arr: np.ndarray):
+        self.bytes_uploaded += arr.nbytes
+        return jnp.asarray(arr)
+
+    def _interp_matrix(self, in_size, out_size, in_cap, out_cap,
+                       dst_offset=0, src_offset=0):
+        """Device-cached [out_cap, in_cap] half-pixel interp matrix.
+
+        Built on device ONCE per key from KB-sized index/weight vectors
+        (never a dense host upload), then passed to programs by
+        reference — round 3 rebuilt the one-hot broadcast inside every
+        dispatch instead."""
+        key = (in_size, out_size, in_cap, out_cap, dst_offset, src_offset)
+        m = self._matrices.get(key)
+        if m is None:
+            lo, hi, w_lo, valid = _interp_payload(
+                in_size, out_size, in_cap, out_cap, dst_offset)
+            if src_offset:
+                lo, hi = lo + src_offset, hi + src_offset
+            build = jax.jit(_matrix_from_payload, static_argnums=4)
+            m = build(self._to_dev(lo), self._to_dev(hi),
+                      self._to_dev(w_lo), self._to_dev(valid), in_cap)
+            if len(self._matrices) >= self._matrix_cache_cap:
+                self._matrices.pop(next(iter(self._matrices)))
+            self._matrices[key] = m
+        return m
 
     def _build(self, key):
         (chb, cwb, ohb, owb, nchunks, wb) = key
@@ -114,20 +175,17 @@ class BucketedPipeline:
         forward = ev._forward_impl
         constrain = ev._constrain_batch
 
-        def program(variables, image_pad, down_payload, up_payload,
-                    coords, weights, count):
+        def program(variables, image_pad, mh, mw, uh, uw,
+                    coords, weights, count_rows, count_cols):
             """One scale of one image.
 
             image_pad: [OHB, OWB, 3] original image zero-padded (any dtype)
-            down_payload: 8 vectors building the (orig -> canvas) matrices
-            up_payload:   8 vectors building the (canvas -> out) matrices
+            mh/mw: [CHB, OHB]/[CWB, OWB] orig -> canvas interp matrices
+            uh/uw: [OHB, CHB]/[OWB, CWB] canvas -> out interp matrices
             coords: [nchunks, wb, 2] window origins; weights [nchunks, wb]
-            count: [CHB, CWB, 1] per-pixel window coverage (0 outside)
+            count_rows/cols: [CHB]/[CWB] separable window coverage
             """
             img = image_pad.astype(jnp.float32)
-            dh_lo, dh_hi, dh_w, dh_v, dw_lo, dw_hi, dw_w, dw_v = down_payload
-            mh = _matrix_from_payload(dh_lo, dh_hi, dh_w, dh_v, ohb)
-            mw = _matrix_from_payload(dw_lo, dw_hi, dw_w, dw_v, owb)
             # canvas = mh @ img @ mw^T ; rows/cols beyond the live block are 0
             canvas = jnp.einsum(
                 "ch,hwk->cwk", mh, img, precision="highest"
@@ -135,8 +193,12 @@ class BucketedPipeline:
             canvas = jnp.einsum(
                 "dw,cwk->cdk", mw, canvas, precision="highest"
             )
-            # mean-fill everywhere outside the live (centered/padded) region
-            live = (dh_v[:, None] * dw_v[None, :])[..., None]
+            # mean-fill everywhere outside the live (centered/padded)
+            # region. Interp rows sum to 1 on live rows, 0 on dead ones,
+            # so the matrices carry their own validity mask.
+            live = (
+                jnp.sum(mh, axis=1)[:, None] * jnp.sum(mw, axis=1)[None, :]
+            )[..., None]
             canvas = canvas * live + mean * (1.0 - live)
 
             def chunk_body(acc, xs):
@@ -169,20 +231,24 @@ class BucketedPipeline:
 
             acc0 = jnp.zeros((chb, cwb, classes), jnp.float32)
             acc, _ = jax.lax.scan(chunk_body, acc0, (coords, weights))
+            count = count_rows[:, None, None] * count_cols[None, :, None]
             acc = acc / jnp.maximum(count, 1.0)
 
-            uh_lo, uh_hi, uh_w, uh_v, uw_lo, uw_hi, uw_w, uw_v = up_payload
-            uh = _matrix_from_payload(uh_lo, uh_hi, uh_w, uh_v, chb)
-            uw = _matrix_from_payload(uw_lo, uw_hi, uw_w, uw_v, cwb)
             out = jnp.einsum("oc,cdk->odk", uh, acc, precision="highest")
             out = jnp.einsum("pd,odk->opk", uw, out, precision="highest")
             return out  # [OHB, OWB, classes]
 
         return jax.jit(program)
 
-    def scale_probs(self, image_pad_dev, h: int, w: int, scale: float,
-                    ohb: int, owb: int):
-        """Dispatch one scale; returns device probs [OHB, OWB, classes]."""
+    def _scale_bundle(self, h: int, w: int, scale: float,
+                      ohb: int, owb: int):
+        """Device-resident inputs for one (h, w, scale): interp matrices,
+        window coords/weights, separable count vectors and the matching
+        program key. Cached — a repeat exact size uploads nothing."""
+        cache_key = (h, w, scale, ohb, owb)
+        bundle = self._scale_inputs.get(cache_key)
+        if bundle is not None:
+            return bundle
         ev = self.ev
         crop_h, crop_w = ev.crop_h, ev.crop_w
         nh, nw = _scaled_size(h, w, scale, ev.base_size)
@@ -204,35 +270,38 @@ class BucketedPipeline:
         weights_arr = np.asarray(
             [1.0] * len(coords) + [0.0] * n_pad, np.float32
         ).reshape(nchunks, wb)
-
-        count = np.zeros((chb, cwb, 1), np.float32)
-        for (s_h, s_w) in coords:
-            count[s_h:s_h + crop_h, s_w:s_w + crop_w] += 1.0
+        rows, cols = _count_vectors(coords, crop_h, crop_w, chb, cwb)
 
         # (orig h,w) -> scaled (nh, nw), written into the canvas at the
-        # centered pad offset.
-        down_h = _interp_payload(h, nh, ohb, chb, dst_offset=pad_h_half)
-        down_w = _interp_payload(w, nw, owb, cwb, dst_offset=pad_w_half)
-        # canvas live region (nh, nw) at pad offset -> orig (h, w). The
-        # interp source coordinates must be offset by the pad: fold the
-        # offset into the index vectors.
-        up_h = _interp_payload(nh, h, chb, ohb)
-        up_h = (up_h[0] + pad_h_half, up_h[1] + pad_h_half, up_h[2], up_h[3])
-        up_w = _interp_payload(nw, w, cwb, owb)
-        up_w = (up_w[0] + pad_w_half, up_w[1] + pad_w_half, up_w[2], up_w[3])
+        # centered pad offset; (canvas live region -> orig) reads from the
+        # same offset (folded into the source index vectors).
+        mh = self._interp_matrix(h, nh, ohb, chb, dst_offset=pad_h_half)
+        mw = self._interp_matrix(w, nw, owb, cwb, dst_offset=pad_w_half)
+        uh = self._interp_matrix(nh, h, chb, ohb, src_offset=pad_h_half)
+        uw = self._interp_matrix(nw, w, cwb, owb, src_offset=pad_w_half)
 
-        key = (chb, cwb, ohb, owb, nchunks, wb)
-        if key not in self._programs:
-            self._programs[key] = self._build(key)
-        program = self._programs[key]
+        bundle = dict(
+            prog_key=(chb, cwb, ohb, owb, nchunks, wb),
+            mh=mh, mw=mw, uh=uh, uw=uw,
+            coords=self._to_dev(coords_arr),
+            weights=self._to_dev(weights_arr),
+            rows=self._to_dev(rows), cols=self._to_dev(cols),
+        )
+        if len(self._scale_inputs) >= self._inputs_cache_cap:
+            self._scale_inputs.pop(next(iter(self._scale_inputs)))
+        self._scale_inputs[cache_key] = bundle
+        return bundle
 
-        to_dev = lambda t: tuple(jnp.asarray(v) for v in t)
-        return program(
-            ev.variables, image_pad_dev,
-            to_dev(down_h) + to_dev(down_w),
-            to_dev(up_h) + to_dev(up_w),
-            jnp.asarray(coords_arr), jnp.asarray(weights_arr),
-            jnp.asarray(count),
+    def scale_probs(self, image_pad_dev, h: int, w: int, scale: float,
+                    ohb: int, owb: int):
+        """Dispatch one scale; returns device probs [OHB, OWB, classes]."""
+        b = self._scale_bundle(h, w, scale, ohb, owb)
+        if b["prog_key"] not in self._programs:
+            self._programs[b["prog_key"]] = self._build(b["prog_key"])
+        return self._programs[b["prog_key"]](
+            self.ev.variables, image_pad_dev,
+            b["mh"], b["mw"], b["uh"], b["uw"],
+            b["coords"], b["weights"], b["rows"], b["cols"],
         )
 
     def predict_probs(self, image: np.ndarray):
@@ -242,7 +311,7 @@ class BucketedPipeline:
         ohb, owb = _round_up(h, self.bucket), _round_up(w, self.bucket)
         image_pad = np.zeros((ohb, owb, 3), image.dtype)
         image_pad[:h, :w] = image
-        img_dev = jnp.asarray(image_pad)
+        img_dev = self._to_dev(image_pad)
         total = None
         for scale in self.ev.scales:
             probs = self.scale_probs(img_dev, h, w, scale, ohb, owb)

@@ -51,6 +51,23 @@ def checkpoint_path(save_path: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(save_path), f"train_epoch_{epoch}.ckpt")
 
 
+# Completion marker: written inside the checkpoint directory strictly
+# after the orbax write returns, so a save killed mid-write (power loss,
+# preemption landing inside the serializer) is distinguishable from a
+# finished one. `resume: auto` skips unmarked directories and falls back
+# to the newest marked checkpoint instead of dying on a partial restore.
+_COMPLETE_MARKER = ".semseg_complete"
+
+
+def _mark_complete(path: str) -> None:
+    with open(os.path.join(path, _COMPLETE_MARKER), "w") as f:
+        f.write("ok\n")
+
+
+def checkpoint_is_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _COMPLETE_MARKER))
+
+
 def save_checkpoint(save_path: str, epoch: int, state, save_freq: int = 1,
                     keep: int = 2) -> str:
     """Save state at ``epoch`` (1-based, like the reference) and prune."""
@@ -65,6 +82,7 @@ def save_checkpoint(save_path: str, epoch: int, state, save_freq: int = 1,
     if os.path.exists(path):
         shutil.rmtree(path)
     _checkpointer().save(path, payload)
+    _mark_complete(path)
     old = epoch - save_freq * keep
     old_path = checkpoint_path(save_path, old)
     if old > 0 and os.path.exists(old_path):
@@ -140,6 +158,7 @@ class AsyncSaver:
                 if os.path.exists(path):
                     shutil.rmtree(path)
                 _checkpointer().save(path, payload)
+                _mark_complete(path)
                 old = epoch - save_freq * keep
                 old_path = checkpoint_path(save_path, old)
                 if old > 0 and os.path.exists(old_path):
@@ -193,23 +212,57 @@ def save_preempt_checkpoint(save_path: str, epoch: int, state) -> str:
     if os.path.exists(path):
         shutil.rmtree(path)
     _checkpointer().save(path, payload)
+    _mark_complete(path)
     return path
 
 
 def latest_checkpoint(save_path: str) -> Optional[str]:
+    """Newest *complete* checkpoint in ``save_path`` (see _COMPLETE_MARKER).
+
+    Ordering: a preemption snapshot outranks any epoch save (end-of-epoch
+    saves delete it), then higher epochs. Directories without the
+    completion marker are skipped with a warning — a save killed
+    mid-write must not become the auto-resume source. If no directory
+    carries a marker at all (checkpoints written by older versions), the
+    newest is returned as before, with a warning.
+    """
     if not os.path.isdir(save_path):
         return None
-    # A preemption snapshot is by construction newer than any epoch save
-    # (end-of-epoch saves delete it).
+    candidates = []  # (is_preempt, epoch, path) — sort key, newest first
     preempt = preempt_checkpoint_path(save_path)
     if os.path.exists(preempt):
-        return preempt
-    best = None
+        candidates.append((1, 0, preempt))
     for name in os.listdir(save_path):
         m = re.fullmatch(r"train_epoch_(\d+)\.ckpt", name)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), os.path.join(save_path, name))
-    return None if best is None else best[1]
+        if m:
+            candidates.append((0, int(m.group(1)),
+                               os.path.join(save_path, name)))
+    candidates.sort(reverse=True)
+    if not candidates:
+        return None
+    import logging
+
+    log = logging.getLogger(__name__)
+    complete = [p for *_, p in candidates if checkpoint_is_complete(p)]
+    if complete:
+        skipped = []
+        for *_, p in candidates:
+            if p == complete[0]:
+                break
+            skipped.append(p)
+        if skipped:
+            log.warning(
+                "skipping incomplete checkpoint(s) %s (no completion "
+                "marker — killed mid-write?); resuming from %s",
+                skipped, complete[0],
+            )
+        return complete[0]
+    log.warning(
+        "no checkpoint in %s carries a completion marker (written by an "
+        "older version, or all saves were interrupted); using newest %s",
+        save_path, candidates[0][2],
+    )
+    return candidates[0][2]
 
 
 def restore_checkpoint(path: str) -> dict:

@@ -207,7 +207,7 @@ class SlidingWindowEvaluator:
     # ------------------------------------------------------------------
     # device mode: one jitted program per (image shape, scale)
     # ------------------------------------------------------------------
-    def _build_ms_argmax_fn(self, h, w):
+    def _build_ms_argmax_raw(self, h, w):
         """ALL scales + sum + argmax as ONE program: a multi-scale image
         costs one dispatch, one image upload and one uint8 readback. On
         a relay-attached chip each extra dispatch costs host RTT that
@@ -225,7 +225,10 @@ class SlidingWindowEvaluator:
                 total = probs if total is None else total + probs
             return jnp.argmax(total, axis=-1).astype(jnp.uint8)
 
-        return jax.jit(ms_fn)
+        return ms_fn
+
+    def _build_ms_argmax_fn(self, h, w):
+        return jax.jit(self._build_ms_argmax_raw(h, w))
 
     def _build_scale_fn(self, h, w, scale, emit_argmax=False):
         return jax.jit(self._build_scale_raw(h, w, scale, emit_argmax))

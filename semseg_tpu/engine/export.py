@@ -82,6 +82,41 @@ def export_serving(model, variables, *, crop_h: int, crop_w: int,
     return jexport.export(jax.jit(fn), **kwargs)(spec)
 
 
+def export_sliding_window(evaluator, h: int, w: int, *,
+                          image_dtype=jnp.uint8,
+                          platforms: Optional[Sequence[str]] = None):
+    """Export the evaluator's FULL fused sliding-window program for a
+    fixed input shape (h, w): per-scale long-side resize → mean pad →
+    window-grid forwards with flip TTA → count-normalized stitch →
+    prob resize to (h, w) → multi-scale average → uint8 argmax — the
+    complete ``tool/test.py`` deployment contract (reference
+    ``tool/test.py:99-223``) as ONE self-contained StableHLO artifact,
+    not just the per-crop ``net_process`` analog above.
+
+    The served signature is ``fn(image[h, w, 3] image_dtype) ->
+    uint8[h, w]`` with the weights, scales, grid and normalization baked
+    in. Fixed (H, W) is inherent: the window grid is static per shape
+    (same reason the in-framework engine compiles per shape).
+    """
+    from jax import export as jexport
+
+    variables = evaluator.variables
+    if len(evaluator.scales) == 1:
+        raw = evaluator._build_scale_raw(
+            h, w, evaluator.scales[0], emit_argmax=True)
+    else:
+        raw = evaluator._build_ms_argmax_raw(h, w)
+
+    def fn(image):
+        return raw(variables, image)
+
+    spec = jax.ShapeDtypeStruct((h, w, 3), image_dtype)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(fn), **kwargs)(spec)
+
+
 def save_serving(path: str, exported) -> None:
     with open(path, "wb") as f:
         f.write(exported.serialize())

@@ -57,8 +57,7 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32, data_shards=1):
     Returns ``(model, resolved_cfg_updates)`` where updates carry derived
     values (PSA mask dims) the caller may want to record.
     ``data_shards``: data-axis size of the mesh the model will run on
-    (divides the traced global batch per chip — the PSA fused-kernel auto
-    rule is a per-chip envelope).
+    (sets the per-replica-group BN when ``sync_bn: False``).
     """
     validate_arch(cfg)
     # Optional f32-path speed knob (`matmul_precision: high` = 3-pass
@@ -101,10 +100,9 @@ def build_model(cfg, axis_name=None, dtype=jnp.float32, data_shards=1):
             mask_w=mask_w,
             normalization_factor=norm,
             psa_softmax=bool(cfg.psa_softmax),
-            # None = auto (size-aware fused-Pallas/XLA choice, psanet.py);
-            # True/False force one path.
+            # None = auto (fused Pallas on TPU; resident-vs-flash kernel
+            # choice is per-shape in ops/psa_pallas); True/False force.
             fused_attention=cfg.get("fused_attention"),
-            data_shards=int(data_shards),
             remat=bool(cfg.get("remat") or False),
             axis_name=axis_name,
             dtype=dtype,

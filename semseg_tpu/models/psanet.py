@@ -30,7 +30,7 @@ from semseg_tpu.models.layers import (
 from semseg_tpu.models.pspnet import SegHead
 from semseg_tpu.models.resnet import SEG_DILATIONS, SEG_STRIDES, ResNet
 from semseg_tpu.ops import psa_attention_matrix, resize_bilinear_align_corners
-from semseg_tpu.ops.psa_pallas import psa_softmax_bmm
+from semseg_tpu.ops.psa_pallas import psa_softmax_bmm_auto
 from semseg_tpu.ops.psamask import BI_DIRECTION, COLLECT, DISTRIBUTE
 
 
@@ -40,66 +40,27 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-# Fused-kernel auto rule: derived from the kernels' scoped-VMEM model
-# rather than a measured magic point. The binding constraint is the
-# per-grid-step VMEM of the three pallas kernels (fwd, da, dx — see
-# ops/psa_pallas.py): each holds a [Cp, HWp] features block and/or a
-# [Cp, HWp] f32 accumulator plus per-tile blocks, double-buffered.
-# Round-2's opaque batch>=8 Cityscapes-PSA compile failure was exactly
-# this ("Scoped allocation with size 19.30M and limit 16.00M") in the
-# then-monolithic backward kernel; the split kernels fit (batch 16
-# compiles and beats the XLA path: 448 vs 458 ms/step, 35.7 vs 35.0
-# img/s on one v5e). Budget is per-core VMEM (16 MB on v4/v5e/v5p),
-# overridable for other generations via SEMSEG_VMEM_BYTES.
-
-_TILE_J = 128
-_SUBLANE = 16
+# Fused-attention dispatch: True/False force the Pallas/XLA path; None =
+# auto, which is simply "fused on TPU". Which Pallas kernel runs (resident
+# whole-x vs flash source-tiled online softmax) is then chosen per static
+# shape by ops/psa_pallas.select_psa_kernel from the resident kernel's
+# scoped-VMEM model — the flash kernel's per-grid-step VMEM is
+# hw-independent, so no shape falls back to XLA anymore. (Round 2's opaque
+# batch>=8 Cityscapes-PSA compile failure was a 19.3 MB scoped allocation
+# in the then-monolithic resident backward; round 3 split it; round 4's
+# flash kernel removes the envelope entirely.)
 
 
-def _vmem_budget() -> int:
-    import os
-
-    return int(os.environ.get("SEMSEG_VMEM_BYTES", 16 * 2 ** 20))
-
-
-def fused_attention_vmem_bytes(c: int, hw: int,
-                               operand_bytes: int = 2) -> int:
-    """Scoped-VMEM estimate of the worst fused-attention kernel at
-    (channels, positions): max over {fwd, da, dx} of the per-grid-step
-    block set, x2 for double buffering, plus the f32 softmax scratch."""
-    cp = -(-c // _SUBLANE) * _SUBLANE
-    hwp = -(-hw // _SUBLANE) * _SUBLANE
-    fwd = (cp * hwp * operand_bytes          # x block
-           + hwp * _TILE_J * operand_bytes   # a tile
-           + cp * _TILE_J * 4)               # out tile (f32)
-    da = (cp * hwp * operand_bytes           # x block
-          + hwp * _TILE_J * operand_bytes    # a tile
-          + cp * _TILE_J * 4                 # g tile
-          + hwp * _TILE_J * 4)               # da tile
-    dx = (hwp * _TILE_J * operand_bytes      # a tile
-          + cp * _TILE_J * 4                 # g tile
-          + cp * hwp * 4)                    # dx accumulator (f32)
-    scratch = 2 * hwp * _TILE_J * 4          # softmax exp/p f32 temporaries
-    return 2 * max(fwd, da, dx) + scratch
-
-
-def use_fused_attention(fused_attention, n: int, hw: int,
-                        data_shards: int = 1, c: int = 512,
-                        operand_bytes: int = 2) -> bool:
+def use_fused_attention(fused_attention) -> bool:
     """Resolve the fused-kernel choice for one attention branch.
 
-    ``fused_attention``: True/False forces; None = auto — fused on TPU
-    when the VMEM model says the kernels fit (with a 25% safety margin
-    for Mosaic's own temporaries). Batch does not enter: per-grid-step
-    VMEM is batch-independent (the grid covers batch x query tiles).
+    ``fused_attention``: True/False forces; None = auto — fused whenever
+    running on TPU (the flash kernel covers every hw, so there is no
+    size-based fallback; kernel *selection* lives in ops/psa_pallas).
     """
     if fused_attention is not None:
         return bool(fused_attention)
-    if not _on_tpu():
-        return False
-    return fused_attention_vmem_bytes(c, hw, operand_bytes) <= (
-        0.75 * _vmem_budget()
-    )
+    return _on_tpu()
 
 
 class PSA(nn.Module):
@@ -112,11 +73,9 @@ class PSA(nn.Module):
     mask_w: int = 59
     normalization_factor: float = 1.0
     psa_softmax: bool = True
-    # None = auto: fused Pallas softmax+aggregation on TPU within the
-    # per-chip compile envelope (see use_fused_attention).
+    # None = auto: fused Pallas softmax+aggregation on TPU (see
+    # use_fused_attention; kernel choice is per-shape in ops/psa_pallas).
     fused_attention: Optional[bool] = None
-    # Data-axis size dividing the traced global batch per chip (GSPMD).
-    data_shards: int = 1
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -157,19 +116,17 @@ class PSA(nn.Module):
         else:
             a = psa_attention_matrix(y, psa_type, self.mask_h, self.mask_w)
 
-        use_fused = use_fused_attention(
-            self.fused_attention, n, hw, self.data_shards,
-            c=self.mid_channels,
-            operand_bytes=2 if self.dtype == jnp.bfloat16 else 4,
-        )
+        use_fused = use_fused_attention(self.fused_attention)
         x_flat = xr.reshape(n, hw, -1)
         if use_fused and self.psa_softmax:
-            # Fused Pallas kernel: softmax(dim=i) + aggregation in VMEM.
-            # A stays in the compute dtype: its values come from the
-            # attention conv through pure data movement, so a bf16
-            # container loses nothing and halves A's HBM traffic (the
-            # dominant cost of this op); in-kernel math is f32.
-            agg = psa_softmax_bmm(
+            # Fused Pallas kernel: softmax(dim=i) + aggregation in VMEM
+            # (resident or flash variant, picked per shape by the VMEM
+            # model in ops/psa_pallas). A stays in the compute dtype: its
+            # values come from the attention conv through pure data
+            # movement, so a bf16 container loses nothing and halves A's
+            # HBM traffic (the dominant cost of this op); in-kernel math
+            # is f32.
+            agg = psa_softmax_bmm_auto(
                 jnp.transpose(x_flat, (0, 2, 1)), a,
                 self.normalization_factor,
             )
@@ -223,7 +180,6 @@ class PSANet(nn.Module):
     normalization_factor: float = 1.0
     psa_softmax: bool = True
     fused_attention: Optional[bool] = None
-    data_shards: int = 1
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -261,7 +217,6 @@ class PSANet(nn.Module):
                 normalization_factor=self.normalization_factor,
                 psa_softmax=self.psa_softmax,
                 fused_attention=self.fused_attention,
-                data_shards=self.data_shards,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name="psa",

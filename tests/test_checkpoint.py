@@ -134,3 +134,75 @@ def test_load_model_variables_torch_pth(tmp_path):
     # conv kernels transposed OIHW -> HWIO
     k = variables["params"]["backbone"]["stem_cb1"]["conv"]["kernel"]
     assert k.shape == (3, 3, 3, 64)
+
+
+def test_mid_write_killed_save_falls_back(tmp_path):
+    """Crash robustness: a process killed mid-save (dies inside the
+    checkpoint write, before the completion marker lands) must not
+    poison `resume: auto` — latest_checkpoint skips the unmarked
+    directory and falls back to the previous complete checkpoint."""
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        f"""
+        import os, sys
+        sys.path.insert(0, {repo!r})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from semseg_tpu.engine import checkpoint as ckpt
+        from semseg_tpu.engine.optim import SGDState
+        from semseg_tpu.engine.trainer import TrainState
+
+        state = TrainState(
+            params={{"w": jnp.ones((2, 2))}},
+            batch_stats={{}},
+            opt=SGDState(momentum={{"w": jnp.zeros((2, 2))}}),
+            step=jnp.asarray(3, jnp.int32),
+        )
+        ckpt.save_checkpoint({str(tmp_path)!r}, 1, state)
+        real = ckpt._checkpointer
+
+        class KilledMidWrite:
+            def save(self, path, payload):
+                real().save(path, payload)  # files land on disk...
+                os._exit(9)  # ...but the process dies before the marker
+
+        ckpt._checkpointer = lambda: KilledMidWrite()
+        ckpt.save_checkpoint({str(tmp_path)!r}, 2, state)
+        """
+    )
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True)
+    assert proc.returncode == 9, proc.stderr
+    # Both directories exist on disk; only epoch 1 carries the marker.
+    assert os.path.isdir(ckpt.checkpoint_path(str(tmp_path), 2))
+    assert not ckpt.checkpoint_is_complete(
+        ckpt.checkpoint_path(str(tmp_path), 2))
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("train_epoch_1.ckpt")
+    payload = ckpt.restore_checkpoint(latest)
+    assert payload["epoch"] == 1 and int(payload["step"]) == 3
+
+
+def test_incomplete_preempt_snapshot_falls_back(tmp_path):
+    """A preemption snapshot killed mid-write loses its priority over
+    epoch saves; all-markerless directories (written by older versions)
+    still resolve to the newest, as before."""
+    state = _state()
+    ckpt.save_checkpoint(str(tmp_path), 4, state)
+    # Craft a markerless (killed) preempt snapshot next to it.
+    ppath = ckpt.preempt_checkpoint_path(str(tmp_path))
+    os.makedirs(ppath)
+    with open(os.path.join(ppath, "partial"), "w") as f:
+        f.write("x")
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("train_epoch_4.ckpt")
+    # Legacy behavior: no marker anywhere -> newest candidate wins.
+    os.remove(os.path.join(
+        ckpt.checkpoint_path(str(tmp_path), 4), ckpt._COMPLETE_MARKER))
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest == ppath

@@ -143,3 +143,61 @@ def test_serving_export_pred_output(tmp_path):
     pred = np.asarray(serve(x))
     assert pred.shape == (2, 25, 25) and pred.dtype == np.uint8
     assert pred.max() < 4
+
+
+def test_full_sliding_window_export(tmp_path):
+    """`export_scope full`: the ENTIRE fused multi-scale sliding-window
+    program (resize -> pad -> window grid + flip -> stitch -> ms average
+    -> argmax) round-trips through one StableHLO artifact and reproduces
+    the in-framework tool/test.py eval path byte-identically on the
+    bundled demo image."""
+    import cv2
+
+    from semseg_tpu.engine.checkpoint import save_checkpoint
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+    from semseg_tpu.engine.export import load_serving
+    from semseg_tpu.engine.trainer import create_train_state
+    from semseg_tpu.models.build import build_model
+
+    crop = 25
+    cfg = Config(dict(
+        arch="psp", layers=50, classes=4, zoom_factor=8,
+        train_h=crop, train_w=crop, test_h=crop, test_w=crop,
+        base_size=40, scales=[0.5, 1.0],
+        model_path="", export_path=str(tmp_path / "full.shlo"),
+        export_scope="full", export_h=37, export_w=45,
+    ))
+    model, _ = build_model(cfg, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(7),
+        jnp.zeros((1, crop, crop, 3), jnp.float32),
+    )
+    cfg["model_path"] = save_checkpoint(str(tmp_path / "ckpt"), 1, state)
+
+    out = _load_tool("export").run(cfg)
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+    serve = load_serving(out)
+
+    demo = cv2.cvtColor(
+        cv2.imread(os.path.join(REPO, "figure", "demo",
+                                "ADE_val_00001515.jpg"), cv2.IMREAD_COLOR),
+        cv2.COLOR_BGR2RGB,
+    )
+    image = cv2.resize(demo, (45, 37), interpolation=cv2.INTER_LINEAR)
+
+    got = np.asarray(serve(image))
+    assert got.shape == (37, 45) and got.dtype == np.uint8
+
+    value_scale = 255
+    mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
+    std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
+    from semseg_tpu.engine.checkpoint import load_model_variables
+
+    variables = jax.tree.map(
+        jnp.asarray, load_model_variables(cfg.model_path, "psp", 50))
+    evaluator = SlidingWindowEvaluator(
+        model, variables, classes=4, crop_h=crop, crop_w=crop,
+        mean=mean, std=std, base_size=40, scales=[0.5, 1.0],
+    )
+    want = evaluator.predict(image)
+    np.testing.assert_array_equal(got, want)  # byte-identical gray map

@@ -396,6 +396,26 @@ def test_image_shape_probe_exif_orientation(tmp_path):
     probed = test_tool._image_shape(str(rotated))
     assert probed == decoded == (50, 30)
 
+    # EXIF is not required to precede SOF: splice the same APP1 *after*
+    # the SOF segment and the probe must still report the decoded shape
+    # (round-3 probe stopped walking at SOF and missed it).
+    sof_at = None
+    pos = 2
+    while pos + 4 <= len(raw):
+        assert raw[pos] == 0xFF
+        m = raw[pos + 1]
+        seg_len = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            sof_at = pos
+            break
+        pos += 2 + seg_len
+    assert sof_at is not None
+    sof_end = sof_at + 2 + struct.unpack(">H", raw[sof_at + 2:sof_at + 4])[0]
+    late = tmp_path / "late_exif.jpg"
+    late.write_bytes(raw[:sof_end] + app1 + raw[sof_end:])
+    decoded = cv2.imread(str(late), cv2.IMREAD_COLOR).shape[:2]
+    assert test_tool._image_shape(str(late)) == decoded == (50, 30)
+
 
 def test_cal_acc_scoring(synth_dataset, tmp_path):
     """tool/test.py scoring path: perfect predictions -> mIoU 1.0."""

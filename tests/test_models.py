@@ -77,41 +77,47 @@ def test_matmul_precision_knob_plumbs_through_build():
 
 
 def test_fused_attention_auto_rule_and_config_plumb(monkeypatch):
-    """Auto fused-kernel choice is a scoped-VMEM model (batch does not
-    enter — per-grid-step VMEM is batch-independent); explicit
-    True/False and the `fused_attention` config key override it."""
+    """Auto = fused on TPU (the flash kernel removed the size fallback);
+    which Pallas kernel runs is a per-shape scoped-VMEM choice; explicit
+    True/False and the `fused_attention` config key override the auto."""
     import semseg_tpu.models.psanet as psanet_mod
     from semseg_tpu.config import Config
-    from semseg_tpu.models.psanet import (
-        fused_attention_vmem_bytes,
-        use_fused_attention,
+    from semseg_tpu.models.psanet import use_fused_attention
+    from semseg_tpu.ops.psa_pallas import (
+        resident_vmem_bytes,
+        select_psa_kernel,
     )
 
     monkeypatch.setattr(psanet_mod, "_on_tpu", lambda: True)
-    # Every shipped recipe fits: ADE (hw=900) and Cityscapes-PSA
-    # (hw=2025) at any batch — the VMEM-OOM that capped round 2's
-    # monolithic backward kernel is gone with the split kernels.
-    assert use_fused_attention(None, 16, 900)
-    assert use_fused_attention(None, 8, 2025)
-    assert use_fused_attention(None, 16, 2025)
-    # A shrink_factor=1 Cityscapes extent (hw=8100) blows the dx
-    # accumulator block past VMEM -> auto picks the XLA path.
-    assert not use_fused_attention(None, 1, 8100)
-    # f32 operands double the streamed blocks; the model accounts for it
-    # (hw=2025 f32 still fits; the budget binds ~2x earlier).
-    assert fused_attention_vmem_bytes(512, 2025, 4) > \
-        fused_attention_vmem_bytes(512, 2025, 2)
+    # On TPU the auto rule is unconditional now: every hw has a fused
+    # kernel (flash covers what the resident kernel can't hold in VMEM).
+    assert use_fused_attention(None)
+    # The shipped shrink_factor=2 recipes run the resident kernel
+    # (minimal HBM traffic: x fetched once per batch row; measured
+    # fastest everywhere it compiles) in bf16 AND f32 ...
+    assert select_psa_kernel(512, 900, 2) == "resident"
+    assert select_psa_kernel(512, 2025, 2) == "resident"
+    assert select_psa_kernel(512, 2025, 4) == "resident"
+    # ... while shrink_factor=1 extents (hw>=7000) run the flash kernel,
+    # whose per-grid-step VMEM is hw-independent — round 3 auto-disabled
+    # the fused path entirely here.
+    assert select_psa_kernel(512, 8100, 2) == "flash"
+    assert select_psa_kernel(512, 8100, 4) == "flash"
+    # f32 operands double the resident kernel's streamed blocks; the
+    # model accounts for it.
+    assert resident_vmem_bytes(512, 2025, 4) > resident_vmem_bytes(
+        512, 2025, 2)
     # The rule follows the chip's VMEM budget (env override for other
     # TPU generations).
     monkeypatch.setenv("SEMSEG_VMEM_BYTES", str(4 * 2 ** 20))
-    assert not use_fused_attention(None, 16, 2025)
+    assert select_psa_kernel(512, 2025, 2) == "flash"
     monkeypatch.delenv("SEMSEG_VMEM_BYTES")
     # Explicit override beats auto in both directions.
-    assert use_fused_attention(True, 8, 8100)
-    assert not use_fused_attention(False, 1, 1)
+    assert use_fused_attention(True)
+    assert not use_fused_attention(False)
     # Off-TPU auto is always the XLA path.
     monkeypatch.setattr(psanet_mod, "_on_tpu", lambda: False)
-    assert not use_fused_attention(None, 1, 1)
+    assert not use_fused_attention(None)
 
     cfg = Config(dict(
         arch="psa", layers=50, classes=19, zoom_factor=8, train_h=705,

@@ -192,8 +192,13 @@ def run_torch(steps: int, train_set, val_set, seed: int = 0,
     return trajectory, init_sd
 
 
+# Round-4 record. Seeded at round start with a pre-registered criterion
+# line and the round-3 PSPNet seeds re-scored under it (the one-sided
+# rule was adopted mid-round-3 after seed 0 failed the symmetric test by
+# being 3.9pt BETTER; registering it before the round-4 runs removes the
+# post-hoc objection).
 RECORD = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CONVERGENCE_r03.jsonl")
+    os.path.abspath(__file__))), "CONVERGENCE_r04.jsonl")
 
 
 def summarize_band(arch: str = "psp"):

@@ -18,7 +18,16 @@ Usage:
         model_path exp/.../train_epoch_100.ckpt \
         export_path /tmp/pspnet50_serving.shlo \
         [export_format stablehlo] [export_output probs|logits|pred] \
-        [export_platforms "['tpu','cpu']"]
+        [export_platforms "['tpu','cpu']"] \
+        [export_scope crop|full export_h <H> export_w <W>]
+
+``export_scope full`` serializes the ENTIRE fused sliding-window program
+(scale resize -> mean pad -> window grid + flip TTA -> count-normalized
+stitch -> prob resize -> ms average -> uint8 argmax) for a fixed input
+(export_h, export_w) with the config's TEST scales/base_size/crop — the
+complete ``tool/test.py`` contract as one artifact. Default ``crop``
+exports the batch-polymorphic per-crop forward (the ``net_process``
+analog).
 
 Note on PSANet: a portable (cross-platform) artifact must not embed the
 Mosaic TPU custom call, so export builds PSA models with
@@ -81,14 +90,37 @@ def run(cfg):
     mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
     std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
     platforms = cfg.get("export_platforms")
-    exported = export_serving(
-        model, variables,
-        crop_h=cfg.get("test_h") or cfg.train_h,
-        crop_w=cfg.get("test_w") or cfg.train_w,
-        mean=mean, std=std,
-        output=cfg.get("export_output") or "probs",
-        platforms=platforms,
-    )
+    scope = cfg.get("export_scope") or "crop"
+    if scope == "full":
+        from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+        from semseg_tpu.engine.export import export_sliding_window
+
+        h, w = cfg.get("export_h"), cfg.get("export_w")
+        if not (h and w):
+            raise ValueError(
+                "export_scope full requires export_h/export_w (the window "
+                "grid is static per input shape)")
+        evaluator = SlidingWindowEvaluator(
+            model, variables, classes=cfg.classes,
+            crop_h=cfg.get("test_h") or cfg.train_h,
+            crop_w=cfg.get("test_w") or cfg.train_w,
+            mean=mean, std=std,
+            base_size=cfg.get("base_size") or max(h, w),
+            scales=list(cfg.get("scales") or [1.0]),
+        )
+        exported = export_sliding_window(
+            evaluator, int(h), int(w), platforms=platforms)
+    elif scope == "crop":
+        exported = export_serving(
+            model, variables,
+            crop_h=cfg.get("test_h") or cfg.train_h,
+            crop_w=cfg.get("test_w") or cfg.train_w,
+            mean=mean, std=std,
+            output=cfg.get("export_output") or "probs",
+            platforms=platforms,
+        )
+    else:
+        raise ValueError(f"unknown export_scope {scope!r}")
     save_serving(out_path, exported)
     logger.info(
         "=> exported serving program: %s (platforms=%s, %.1f MB)",

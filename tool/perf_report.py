@@ -79,16 +79,22 @@ def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
 
 
 def section_train():
+    psa59 = dict(psa_type=2, compact=False, shrink_factor=2, mask_h=59,
+                 mask_w=59, normalization_factor=1.0, psa_softmax=True)
+    psa89 = dict(psa_type=2, compact=False, shrink_factor=2, mask_h=89,
+                 mask_w=89, normalization_factor=1.0, psa_softmax=True)
     recipes = [
-        # (name, arch, layers, classes, crop, model_kw)
+        # (name, arch, layers, classes, crop, model_kw) — all eight
+        # shipped recipe families, 50- and 101-layer (the 101s are the
+        # BASELINE flagships: config #4 is PSPNet101 Cityscapes).
         ("pspnet50_ade20k_473", "psp", 50, 150, 473, {}),
-        ("psanet50_ade20k_465", "psa", 50, 150, 465,
-         dict(psa_type=2, compact=False, shrink_factor=2, mask_h=59,
-              mask_w=59, normalization_factor=1.0, psa_softmax=True)),
+        ("psanet50_ade20k_465", "psa", 50, 150, 465, psa59),
         ("pspnet50_cityscapes_713", "psp", 50, 19, 713, {}),
-        ("psanet50_cityscapes_705", "psa", 50, 19, 705,
-         dict(psa_type=2, compact=False, shrink_factor=2, mask_h=89,
-              mask_w=89, normalization_factor=1.0, psa_softmax=True)),
+        ("psanet50_cityscapes_705", "psa", 50, 19, 705, psa89),
+        ("pspnet101_ade20k_473", "psp", 101, 150, 473, {}),
+        ("psanet101_ade20k_465", "psa", 101, 150, 465, psa59),
+        ("pspnet101_cityscapes_713", "psp", 101, 19, 713, {}),
+        ("psanet101_cityscapes_705", "psa", 101, 19, 705, psa89),
     ]
     batch0 = int(os.environ.get("PERF_BATCH", "16"))
     only = os.environ.get("PERF_RECIPES")  # comma-separated substring filter
@@ -305,6 +311,7 @@ def section_eval():
         for img in images:  # warm-up / compile all buckets
             evaluator.predict(img)
         compile_s = time.perf_counter() - t0
+        bytes0 = evaluator._bucketed.bytes_uploaded
         start = time.perf_counter()
         reps = 4
         pending = []
@@ -321,6 +328,11 @@ def section_eval():
             programs=len(evaluator._bucketed._programs),
             shapes=len(set(shapes)),
             warmup_s=round(compile_s, 1),
+            # host->device transfer per image in the timed loop (warm
+            # caches: repeat sizes upload only the image itself).
+            upload_KB_per_image=round(
+                (evaluator._bucketed.bytes_uploaded - bytes0)
+                / len(results) / 1e3, 1),
         )
 
 
@@ -351,7 +363,16 @@ def section_eval_ms():
         cv2.resize(bgr, (2048, 1024), interpolation=cv2.INTER_LINEAR),
         cv2.COLOR_BGR2RGB,
     )
-    scales = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
+    scales = [float(s) for s in os.environ.get(
+        "PERF_MS_SCALES", "0.5,0.75,1.0,1.25,1.5,1.75").split(",")]
+    layers = int(os.environ.get("PERF_MS_LAYERS", "50"))
+    if layers != 50:
+        model = PSPNet(layers=layers, classes=19, zoom_factor=8,
+                       dtype=jnp.bfloat16)
+        variables = jax.jit(
+            lambda r, x: model.init({"params": r, "dropout": r}, x,
+                                    train=False)
+        )(rng, jnp.zeros((1, 713, 713, 3), jnp.float32))
     evaluator = SlidingWindowEvaluator(
         model, variables, classes=19, crop_h=713, crop_w=713,
         mean=mean, std=std, base_size=2048, scales=scales,
@@ -369,7 +390,7 @@ def section_eval_ms():
     elapsed = time.perf_counter() - start
     assert all(r.shape == (1024, 2048) for r in results)
     _emit(
-        "eval_ms6_cityscapes_pspnet50",
+        f"eval_ms{len(scales)}_cityscapes_pspnet{layers}",
         scales=len(scales),
         images_per_sec_chip=round(n_iters / elapsed, 2),
         warmup_s=round(compile_s, 1),

@@ -52,22 +52,60 @@ def _try(stage, batch, fn):
         return False
 
 
-def probe_kernel(batch, hw, c, dtype_name, grad=False):
+def _kernel_fn(kernel, caps=None):
+    """Resolve the op under probe: resident / flash Pallas kernels, the
+    shape-dispatched auto, or the plain-XLA softmax+einsum reference.
+    ``caps``: optional (cap_i, cap_j) flash tile caps / resident tile_j."""
+    from semseg_tpu.ops import psa_pallas as pp
+
+    if kernel == "flash" and caps:
+        return lambda x, a: pp.psa_softmax_bmm_flash(
+            x, a, 1.0, False, caps[0], caps[1])
+    if kernel == "resident" and caps:
+        return lambda x, a: pp.psa_softmax_bmm(x, a, 1.0, caps[-1])
+    return {
+        "resident": lambda x, a: pp.psa_softmax_bmm(x, a, 1.0),
+        "flash": lambda x, a: pp.psa_softmax_bmm_flash(x, a, 1.0),
+        "auto": lambda x, a: pp.psa_softmax_bmm_auto(x, a, 1.0),
+        "xla": lambda x, a: pp.psa_softmax_bmm_reference(x, a, 1.0),
+    }[kernel]
+
+
+def probe_kernel(batch, hw, c, dtype_name, grad=False, kernel="resident",
+                 time_steps=0, caps=None):
     import jax
     import jax.numpy as jnp
 
-    from semseg_tpu.ops.psa_pallas import psa_softmax_bmm
-
+    op = _kernel_fn(kernel, caps)
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    x = jnp.zeros((batch, c, hw), dtype)
-    a = jnp.zeros((batch, hw, hw), dtype)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(batch, c, hw).astype(np.float32)).astype(dtype)
+    a = jnp.asarray(rs.randn(batch, hw, hw).astype(np.float32)).astype(dtype)
     if grad:
         f = jax.jit(jax.grad(
-            lambda x_, a_: jnp.sum(psa_softmax_bmm(x_, a_, 1.0)), argnums=(0, 1)
+            lambda x_, a_: jnp.sum(op(x_, a_)), argnums=(0, 1)
         ))
     else:
-        f = jax.jit(lambda x_, a_: psa_softmax_bmm(x_, a_, 1.0))
+        f = jax.jit(lambda x_, a_: jnp.sum(op(x_, a_)))
     f.lower(x, a).compile()
+    if time_steps:
+        # Chained dispatches + one scalar readback (the relay's
+        # block_until_ready is unreliable; see CLAUDE.md).
+        out = f(x, a)
+        _force = (lambda o: float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0]))
+        _force(out)
+        t0 = time.time()
+        for _ in range(time_steps):
+            out = f(x, a)
+        _force(out)
+        ms = (time.time() - t0) / time_steps * 1000
+        import json
+
+        print(json.dumps({
+            "stage": f"time-{kernel}{'-grad' if grad else ''}",
+            "batch": batch, "hw": hw, "dtype": dtype_name,
+            "caps": caps, "ms_per_call": round(ms, 2),
+        }), flush=True)
 
 
 def probe_branch(batch, hw, c, dtype_name):
@@ -130,17 +168,26 @@ def main():
     ap.add_argument("--c", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batches", default="4,8,16")
+    ap.add_argument("--kernel", default="resident",
+                    choices=["resident", "flash", "auto", "xla"])
+    ap.add_argument("--time", type=int, default=0, metavar="N",
+                    help="after compiling, time N chained executions")
+    ap.add_argument("--caps", default=None,
+                    help="flash tile caps 'ti,tj' (or resident tile_j)")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
+    caps = tuple(int(v) for v in args.caps.split(",")) if args.caps else None
 
     for stage in args.stages:
         for batch in batches:
             if stage == "kernel-fwd":
                 ok = _try(stage, batch, lambda: probe_kernel(
-                    batch, args.hw, args.c, args.dtype, grad=False))
+                    batch, args.hw, args.c, args.dtype, grad=False,
+                    kernel=args.kernel, time_steps=args.time, caps=caps))
             elif stage == "kernel-grad":
                 ok = _try(stage, batch, lambda: probe_kernel(
-                    batch, args.hw, args.c, args.dtype, grad=True))
+                    batch, args.hw, args.c, args.dtype, grad=True,
+                    kernel=args.kernel, time_steps=args.time, caps=caps))
             elif stage == "branch":
                 ok = _try(stage, batch, lambda: probe_branch(
                     batch, args.hw, args.c, args.dtype))

@@ -194,23 +194,23 @@ def _image_shape(path):
                 f.seek(2)
                 transposed = None
                 hw = None
-                while True:
+                while hw is None or transposed is None:
                     marker = f.read(2)
                     if len(marker) < 2 or marker[0] != 0xFF:
                         break
-                    if 0xC0 <= marker[1] <= 0xCF and marker[1] not in (
-                        0xC4, 0xC8, 0xCC,
-                    ):
-                        f.read(3)
-                        hw = struct.unpack(">HH", f.read(4))
-                        if transposed is not None:
-                            break
-                        # keep walking only if EXIF not seen yet (APP1
-                        # precedes SOF in practice; stop either way)
+                    if marker[1] in (0xD9, 0xDA):
+                        # EOI / SOS: entropy-coded data follows — no more
+                        # walkable segments (EXIF must precede SOS).
                         break
                     (size,) = struct.unpack(">H", f.read(2))
                     payload_at = f.tell()
-                    if marker[1] == 0xE1 and transposed is None:  # APP1
+                    if 0xC0 <= marker[1] <= 0xCF and marker[1] not in (
+                        0xC4, 0xC8, 0xCC,
+                    ):
+                        f.read(1)  # sample precision
+                        hw = struct.unpack(">HH", f.read(4))
+                        # keep walking: APP1 may legally follow SOF
+                    elif marker[1] == 0xE1 and transposed is None:  # APP1
                         orient = _jpeg_exif_orientation(f)
                         transposed = orient in (5, 6, 7, 8)
                     f.seek(payload_at + size - 2)
