@@ -9,14 +9,24 @@ sampling maps output index ``i`` to input coordinate ``i * (in-1)/(out-1)``
 
 Bilinear interpolation is separable, so the resize is expressed as two
 dense matrix products — ``out = M_h @ x @ M_w^T`` — which XLA tiles onto
-the MXU instead of emitting gathers. Interpolation matrices are built at
-trace time from static shapes and folded into constants.
+the MXU instead of emitting gathers.
+
+The [out, in] matrices are assembled ON DEVICE from three [out] vectors
+(floor index, ceil index, fraction) via one-hots: embedding them as
+dense HLO constants made large fused programs tens of MB of proto — the
+six-scale Cityscapes ms program carries ~100 MB of interpolation
+matrices and exceeded the compile relay's request-size limit (HTTP 413)
+when compiled fresh. The assembly ``one_hot(lo)·(1−frac) +
+one_hot(hi)·frac`` is bit-identical to the host-built matrix (products
+with 0/1 and the lo==hi edge sum are exact in f32) and costs one fused
+VPU pass that XLA overlaps with the surrounding matmuls.
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,8 +69,44 @@ def _interp_matrix_half_pixel(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def _apply_separable(x, mh, mw, squeeze):
-    compute_dtype = mh.dtype
+@functools.lru_cache(maxsize=None)
+def _interp_vectors(in_size: int, out_size: int, half_pixel: bool):
+    """Decompose the (cached) 2-nonzero-per-row interpolation matrix into
+    (lo, hi, frac) [out] vectors for on-device assembly. Exact: rows of
+    the matrix are ``(1-frac)·e_lo + frac·e_hi`` by construction (lo==hi
+    rows carry a single 1.0 and decompose as frac=0)."""
+    m = (_interp_matrix_half_pixel if half_pixel else _interp_matrix)(
+        in_size, out_size
+    )
+    lo = np.zeros(out_size, np.int32)
+    hi = np.zeros(out_size, np.int32)
+    frac = np.zeros(out_size, np.float32)
+    for r in range(out_size):
+        nz = np.nonzero(m[r])[0]
+        if len(nz) == 1:
+            lo[r] = hi[r] = nz[0]
+        else:
+            lo[r], hi[r] = nz[0], nz[-1]
+            frac[r] = m[r, nz[-1]]
+    return lo, hi, frac
+
+
+def _device_matrix(in_size: int, out_size: int, half_pixel: bool,
+                   dtype) -> jnp.ndarray:
+    """Assemble the [out, in] matrix on device from [out] vectors so the
+    jitted program embeds ~KB of constants instead of the dense matrix."""
+    lo, hi, frac = _interp_vectors(in_size, out_size, half_pixel)
+    fr = jnp.asarray(frac, dtype)
+    mat = (
+        jax.nn.one_hot(jnp.asarray(lo), in_size, dtype=dtype)
+        * (jnp.asarray(1.0, dtype) - fr)[:, None]
+        + jax.nn.one_hot(jnp.asarray(hi), in_size, dtype=dtype)
+        * fr[:, None]
+    )
+    return mat
+
+
+def _apply_separable(x, mh, mw, squeeze, compute_dtype):
     # precision='highest': JAX's default matmul precision truncates to
     # bfloat16 inputs; interpolation weights must apply in full float32.
     y = jnp.einsum(
@@ -90,9 +136,9 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     if (h, w) == (out_h, out_w):
         return x[0] if squeeze else x
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    mh = jnp.asarray(_interp_matrix(h, out_h), dtype=compute_dtype)
-    mw = jnp.asarray(_interp_matrix(w, out_w), dtype=compute_dtype)
-    return _apply_separable(x, mh, mw, squeeze)
+    mh = _device_matrix(h, out_h, False, compute_dtype)
+    mw = _device_matrix(w, out_w, False, compute_dtype)
+    return _apply_separable(x, mh, mw, squeeze, compute_dtype)
 
 
 def resize_bilinear_half_pixel(x: jnp.ndarray, size) -> jnp.ndarray:
@@ -108,6 +154,6 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, size) -> jnp.ndarray:
     if (h, w) == (out_h, out_w):
         return x[0] if squeeze else x
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    mh = jnp.asarray(_interp_matrix_half_pixel(h, out_h), dtype=compute_dtype)
-    mw = jnp.asarray(_interp_matrix_half_pixel(w, out_w), dtype=compute_dtype)
-    return _apply_separable(x, mh, mw, squeeze)
+    mh = _device_matrix(h, out_h, True, compute_dtype)
+    mw = _device_matrix(w, out_w, True, compute_dtype)
+    return _apply_separable(x, mh, mw, squeeze, compute_dtype)

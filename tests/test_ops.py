@@ -77,6 +77,33 @@ def test_resize_half_pixel_matches_cv2(rng, in_hw, out_hw):
     np.testing.assert_allclose(got, want, atol=0.5, rtol=1e-3)
 
 
+@pytest.mark.parametrize("half_pixel", [False, True])
+@pytest.mark.parametrize(
+    "in_out",
+    [(90, 713), (713, 90), (1024, 1792), (3584, 2048), (1, 5), (4, 1),
+     (59, 30), (257, 193)],
+)
+def test_device_interp_matrix_bit_identical_to_host(in_out, half_pixel):
+    """The on-device one-hot assembly (which keeps dense [out, in]
+    interpolation matrices out of the HLO proto — large fused programs
+    exceeded the compile relay's request-size limit) must reproduce the
+    host-built matrix BIT-exactly: every resize golden in this file, and
+    the export byte-identity pins, ride on it."""
+    from semseg_tpu.ops.resize import (
+        _device_matrix,
+        _interp_matrix,
+        _interp_matrix_half_pixel,
+    )
+
+    in_size, out_size = in_out
+    host = (_interp_matrix_half_pixel if half_pixel else _interp_matrix)(
+        in_size, out_size
+    )
+    dev = np.asarray(_device_matrix(in_size, out_size, half_pixel,
+                                    jnp.float32))
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_resize_identity_is_noop(rng):
     x = rng.randn(1, 7, 7, 2).astype(np.float32)
     got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (7, 7)))
