@@ -172,7 +172,7 @@ class BucketedPipeline:
         classes = ev.classes
         mean = jnp.asarray(ev.mean)
         flip = ev.flip
-        forward = ev._forward_impl
+        forward = ev._forward_cf
         constrain = ev._constrain_batch
 
         def program(variables, image_pad, mh, mw, uh, uw,
@@ -214,29 +214,33 @@ class BucketedPipeline:
                     jnp.concatenate([wins, wins[:, :, ::-1]], axis=0)
                     if flip else wins
                 )
+                # channels-first from here on (see evaluator._forward_cf:
+                # class-minor f32 maps pad C to 128 lanes in the TPU's
+                # (8,128) tiling and every stitch pass pays 128/C the HBM
+                # bytes)
                 probs = forward(variables, constrain(batch))
                 if flip:
-                    probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2
+                    probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
 
                 def put(i, a):
                     c = cs[i]
                     patch = jax.lax.dynamic_slice(
-                        a, (c[0], c[1], 0), (crop_h, crop_w, classes)
+                        a, (0, c[0], c[1]), (classes, crop_h, crop_w)
                     )
                     return jax.lax.dynamic_update_slice(
-                        a, patch + probs[i] * wt[i], (c[0], c[1], 0)
+                        a, patch + probs[i] * wt[i], (0, c[0], c[1])
                     )
 
                 return jax.lax.fori_loop(0, wb, put, acc), None
 
-            acc0 = jnp.zeros((chb, cwb, classes), jnp.float32)
+            acc0 = jnp.zeros((classes, chb, cwb), jnp.float32)
             acc, _ = jax.lax.scan(chunk_body, acc0, (coords, weights))
-            count = count_rows[:, None, None] * count_cols[None, :, None]
+            count = count_rows[None, :, None] * count_cols[None, None, :]
             acc = acc / jnp.maximum(count, 1.0)
 
-            out = jnp.einsum("oc,cdk->odk", uh, acc, precision="highest")
-            out = jnp.einsum("pd,odk->opk", uw, out, precision="highest")
-            return out  # [OHB, OWB, classes]
+            out = jnp.einsum("oc,kcd->kod", uh, acc, precision="highest")
+            out = jnp.einsum("pd,kod->kop", uw, out, precision="highest")
+            return out  # [classes, OHB, OWB]
 
         return jax.jit(program)
 
@@ -294,7 +298,7 @@ class BucketedPipeline:
 
     def scale_probs(self, image_pad_dev, h: int, w: int, scale: float,
                     ohb: int, owb: int):
-        """Dispatch one scale; returns device probs [OHB, OWB, classes]."""
+        """Dispatch one scale; returns device probs [classes, OHB, OWB]."""
         b = self._scale_bundle(h, w, scale, ohb, owb)
         if b["prog_key"] not in self._programs:
             self._programs[b["prog_key"]] = self._build(b["prog_key"])
@@ -306,7 +310,7 @@ class BucketedPipeline:
 
     def predict_probs(self, image: np.ndarray):
         """Multi-scale device probs for one image; returns (probs_dev,
-        (h, w)) where probs_dev is [OHB, OWB, classes] on device."""
+        (h, w)) where probs_dev is [classes, OHB, OWB] on device."""
         h, w, _ = image.shape
         ohb, owb = _round_up(h, self.bucket), _round_up(w, self.bucket)
         image_pad = np.zeros((ohb, owb, 3), image.dtype)

@@ -36,7 +36,11 @@ import jax
 import jax.numpy as jnp
 
 from semseg_tpu.ops import resize_bilinear_align_corners
-from semseg_tpu.ops.resize import resize_bilinear_half_pixel
+from semseg_tpu.ops.resize import (
+    resize_bilinear_align_corners_cf,
+    resize_bilinear_half_pixel,
+    resize_bilinear_half_pixel_cf,
+)
 
 
 def _grid_coords(new_h, new_w, crop_h, crop_w, stride_rate):
@@ -204,6 +208,28 @@ class SlidingWindowEvaluator:
             )
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+    def _forward_cf(self, variables, images):
+        """Window forward emitting CHANNELS-FIRST probs ``[B, C, h, w]``.
+
+        Same values as ``_forward_impl`` — the transpose is exact and the
+        channels-first resize applies the identical row-then-column
+        2-term weighted sums — but in the layout the stitch pipeline
+        wants: TPU tiles the two minor dims as (8, 128), so class-minor
+        ``[..., H, W, C]`` f32 maps pad C=19 to 128 lanes and every
+        post-forward pass (logit upsample, softmax, flip average,
+        stitch scatter, count divide, final resize) pays 6.7x the HBM
+        bytes. Measured on the fused Cityscapes ms program: those legs
+        cost 0.52 s/img class-minor (tool/ms_attrib.py ladder, 1.387 ->
+        1.02 s between the full and forwards-only ablations).
+        """
+        logits = self.model.apply(variables, self._normalize(images), train=False)
+        logits = jnp.transpose(logits, (0, 3, 1, 2))
+        if logits.shape[2:4] != images.shape[1:3]:
+            logits = resize_bilinear_align_corners_cf(
+                logits, (images.shape[1], images.shape[2])
+            )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+
     # ------------------------------------------------------------------
     # device mode: one jitted program per (image shape, scale)
     # ------------------------------------------------------------------
@@ -215,15 +241,16 @@ class SlidingWindowEvaluator:
         combiner ran at 0.7 img/s; the fused program removes that
         ceiling). Shares the per-scale pipeline builders."""
         raw_fns = [
-            self._build_scale_raw(h, w, scale) for scale in self.scales
+            self._build_scale_raw(h, w, scale, channels_first=True)
+            for scale in self.scales
         ]
 
         def ms_fn(variables, image):
             total = None
             for fn in raw_fns:
-                probs = fn(variables, image)
+                probs = fn(variables, image)  # [C, h, w]
                 total = probs if total is None else total + probs
-            return jnp.argmax(total, axis=-1).astype(jnp.uint8)
+            return jnp.argmax(total, axis=0).astype(jnp.uint8)
 
         return ms_fn
 
@@ -233,7 +260,15 @@ class SlidingWindowEvaluator:
     def _build_scale_fn(self, h, w, scale, emit_argmax=False):
         return jax.jit(self._build_scale_raw(h, w, scale, emit_argmax))
 
-    def _build_scale_raw(self, h, w, scale, emit_argmax=False):
+    def _build_scale_raw(self, h, w, scale, emit_argmax=False,
+                         channels_first=False):
+        """One scale's full pipeline. Internals run CHANNELS-FIRST from
+        the window forward onward (see ``_forward_cf``: class-minor f32
+        maps pad C to 128 lanes in the TPU's (8,128) tiling and the
+        softmax/flip/stitch/divide/resize passes pay 128/C the HBM
+        bytes). ``channels_first=True`` returns ``[C, h, w]`` (the ms
+        combiner's layout); default transposes back to the public
+        ``[h, w, C]`` contract at the very end."""
         crop_h, crop_w = self.crop_h, self.crop_w
         new_h, new_w = _scaled_size(h, w, scale, self.base_size)
         pad_h = max(crop_h - new_h, 0)
@@ -278,7 +313,7 @@ class SlidingWindowEvaluator:
 
         mean = jnp.asarray(self.mean)
         flip = self.flip
-        model_apply = self._forward_impl
+        model_apply = self._forward_cf
         constrain = self._constrain_batch
 
         def scale_fn(variables, image):
@@ -311,40 +346,44 @@ class SlidingWindowEvaluator:
                 )
                 probs = model_apply(variables, constrain(batch))
                 if flip:
-                    probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2
+                    # un-flip = reverse W, the minor axis here (lane
+                    # reversal, one fused VPU pass on unpadded rows)
+                    probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
 
                 def put(i, a):
                     c = cs[i]
                     patch = jax.lax.dynamic_slice(
-                        a, (c[0], c[1], 0), (crop_h, crop_w, probs.shape[-1])
+                        a, (0, c[0], c[1]), (probs.shape[1], crop_h, crop_w)
                     )
                     return jax.lax.dynamic_update_slice(
-                        a, patch + probs[i] * wt[i], (c[0], c[1], 0)
+                        a, patch + probs[i] * wt[i], (0, c[0], c[1])
                     )
 
                 acc = jax.lax.fori_loop(0, wb, put, acc)
                 return acc, None
 
-            acc0 = jnp.zeros((canvas_h, canvas_w, self.classes), jnp.float32)
+            acc0 = jnp.zeros((self.classes, canvas_h, canvas_w), jnp.float32)
             acc, _ = jax.lax.scan(
                 chunk_body, acc0,
                 (jnp.asarray(coords_arr), jnp.asarray(weights_arr)),
             )
             acc = acc / (
-                jnp.asarray(count_rows)[:, None] * jnp.asarray(count_cols)
-            )
+                jnp.asarray(count_rows) * jnp.asarray(count_cols).T
+            )[None]
             # 3) un-pad, resize probs back to the original resolution
             acc = jax.lax.dynamic_slice(
-                acc, (pad_h_half, pad_w_half, 0),
-                (new_h, new_w, self.classes),
+                acc, (0, pad_h_half, pad_w_half),
+                (self.classes, new_h, new_w),
             )
-            probs = resize_bilinear_half_pixel(acc, (h, w))
+            probs = resize_bilinear_half_pixel_cf(acc, (h, w))
             if emit_argmax:
                 # Single-scale fast path: the uint8 class map comes out of
                 # the same program — one dispatch + one 1-byte/px readback
                 # per image (each extra dispatch costs a relay RTT).
-                return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return probs
+                return jnp.argmax(probs, axis=0).astype(jnp.uint8)
+            if channels_first:
+                return probs
+            return jnp.transpose(probs, (1, 2, 0))
 
         return scale_fn
 
@@ -456,7 +495,8 @@ class SlidingWindowEvaluator:
             return np.asarray(self._predict_probs_device(image))
         if self.mode == "device_bucketed":
             probs, (h, w) = self._bucketed.predict_probs(image)
-            return np.asarray(probs)[:h, :w]
+            # device layout is channels-first; public contract is [h, w, C]
+            return np.asarray(probs)[:, :h, :w].transpose(1, 2, 0)
         return self._predict_probs_host(image)
 
     def predict_async(self, image: np.ndarray):
@@ -486,7 +526,7 @@ class SlidingWindowEvaluator:
             return self._scale_fns[key](self.variables, jnp.asarray(image))
         if self.mode == "device_bucketed":
             probs, (h, w) = self._bucketed.predict_probs(image)
-            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)[:h, :w]
+            return jnp.argmax(probs, axis=0).astype(jnp.uint8)[:h, :w]
         raise ValueError("predict_async requires a device mode")
 
     def predict(self, image: np.ndarray) -> np.ndarray:

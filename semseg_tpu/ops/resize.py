@@ -121,6 +121,52 @@ def _apply_separable(x, mh, mw, squeeze, compute_dtype):
     return y[0] if squeeze else y
 
 
+def _apply_separable_cf(x, mh, mw, compute_dtype):
+    # Channels-first: resize over the LAST TWO axes of [..., H, W].
+    # Same row-then-column application order as ``_apply_separable`` —
+    # each output element is the same 2-nonzero-per-row weighted sum
+    # (zero terms add exactly), so values match the NHWC form bit-for-
+    # bit in f32. The payoff is layout: TPU tiles the two minor dims as
+    # (8, 128), so a class-minor [H, W, C<128] f32 map pads C to 128
+    # lanes and every elementwise pass pays 128/C the HBM traffic;
+    # with W minor the padding is W -> ceil(W/128)*128 (~7% at 713).
+    y = jnp.einsum(
+        "oh,...hw->...ow", mh, x.astype(compute_dtype),
+        preferred_element_type=compute_dtype, precision="highest",
+    )
+    y = jnp.einsum(
+        "pw,...ow->...op", mw, y,
+        preferred_element_type=compute_dtype, precision="highest",
+    )
+    return y.astype(x.dtype)
+
+
+def resize_bilinear_align_corners_cf(x: jnp.ndarray, size) -> jnp.ndarray:
+    """``resize_bilinear_align_corners`` for channels-first ``[..., H, W]``
+    input (any number of leading batch/channel axes)."""
+    out_h, out_w = int(size[0]), int(size[1])
+    h, w = x.shape[-2], x.shape[-1]
+    if (h, w) == (out_h, out_w):
+        return x
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    mh = _device_matrix(h, out_h, False, compute_dtype)
+    mw = _device_matrix(w, out_w, False, compute_dtype)
+    return _apply_separable_cf(x, mh, mw, compute_dtype)
+
+
+def resize_bilinear_half_pixel_cf(x: jnp.ndarray, size) -> jnp.ndarray:
+    """``resize_bilinear_half_pixel`` for channels-first ``[..., H, W]``
+    input (any number of leading batch/channel axes)."""
+    out_h, out_w = int(size[0]), int(size[1])
+    h, w = x.shape[-2], x.shape[-1]
+    if (h, w) == (out_h, out_w):
+        return x
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    mh = _device_matrix(h, out_h, True, compute_dtype)
+    mw = _device_matrix(w, out_w, True, compute_dtype)
+    return _apply_separable_cf(x, mh, mw, compute_dtype)
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     """Resize NHWC (or HWC) ``x`` to ``size=(out_h, out_w)``.
 

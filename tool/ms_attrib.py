@@ -57,7 +57,10 @@ from semseg_tpu.engine.evaluator import (
     _scaled_size,
 )
 from semseg_tpu.models import PSPNet
-from semseg_tpu.ops.resize import resize_bilinear_half_pixel
+from semseg_tpu.ops.resize import (
+    resize_bilinear_half_pixel,
+    resize_bilinear_half_pixel_cf,
+)
 
 SCALES = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
 H, W = 1024, 2048
@@ -140,9 +143,9 @@ def build_variant_ms(ev, h, w, stage):
                     return ev.model.apply(
                         ev.variables, ev._normalize(batch), train=False
                     ).astype(jnp.float32)
-                probs = ev._forward_impl(variables, batch)
+                probs = ev._forward_cf(variables, batch)  # [B, C, ch, cw]
                 if flip:
-                    probs = (probs[:wb] + probs[wb:][:, :, ::-1]) / 2
+                    probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
                 return probs
 
             if stage in ("fwd_logits", "fwd_probs"):
@@ -158,33 +161,33 @@ def build_variant_ms(ev, h, w, stage):
 
             def chunk_body(acc, xs):
                 cs, wt = xs
-                probs = fwd_chunk(cs)
+                probs = fwd_chunk(cs)  # [wb, C, crop_h, crop_w]
 
                 def put(i, a):
                     c = cs[i]
                     patch = jax.lax.dynamic_slice(
-                        a, (c[0], c[1], 0), (crop_h, crop_w, probs.shape[-1])
+                        a, (0, c[0], c[1]), (probs.shape[1], crop_h, crop_w)
                     )
                     return jax.lax.dynamic_update_slice(
-                        a, patch + probs[i] * wt[i], (c[0], c[1], 0)
+                        a, patch + probs[i] * wt[i], (0, c[0], c[1])
                     )
 
                 return jax.lax.fori_loop(0, wb, put, acc), None
 
-            acc0 = jnp.zeros((canvas_h, canvas_w, ev.classes), jnp.float32)
+            acc0 = jnp.zeros((ev.classes, canvas_h, canvas_w), jnp.float32)
             acc, _ = jax.lax.scan(
                 chunk_body, acc0,
                 (jnp.asarray(coords_arr), jnp.asarray(weights_arr)),
             )
             acc = acc / (
-                jnp.asarray(count_rows)[:, None] * jnp.asarray(count_cols)
-            )
+                jnp.asarray(count_rows) * jnp.asarray(count_cols).T
+            )[None]
             acc = jax.lax.dynamic_slice(
-                acc, (pad_h_half, pad_w_half, 0), (new_h, new_w, ev.classes)
+                acc, (0, pad_h_half, pad_w_half), (ev.classes, new_h, new_w)
             )
             if stage == "no_final_resize":
                 return jnp.sum(acc)
-            return resize_bilinear_half_pixel(acc, (h, w))
+            return resize_bilinear_half_pixel_cf(acc, (h, w))
 
         scale_fns.append(scale_fn)
 
@@ -196,7 +199,7 @@ def build_variant_ms(ev, h, w, stage):
             p = fn(variables, image)
             total = p if total is None else total + p
         # resident_scalar: the shipped program's argmax reduced on device.
-        return jnp.sum(jnp.argmax(total, axis=-1).astype(jnp.int32))
+        return jnp.sum(jnp.argmax(total, axis=0).astype(jnp.int32))
 
     return jax.jit(ms_fn)
 
@@ -268,7 +271,7 @@ def main():
             fn = ev._scale_fns[key]
             sec = _time_chained(fn, (ev.variables, img_dev), iters)
         elif name == "peak_windows":
-            fwd = jax.jit(ev._forward_impl)
+            fwd = jax.jit(ev._forward_cf)
             batch = jnp.zeros((wbatch, 713, 713, 3), jnp.float32)
             reduce = jax.jit(lambda v, b: jnp.sum(fwd(v, b)))
             per_call = _time_chained(
