@@ -106,16 +106,29 @@ def _device_matrix(in_size: int, out_size: int, half_pixel: bool,
     return mat
 
 
+def _resize_precision(src_dtype):
+    """Matmul precision policy for the resize einsums — same rule as the
+    PSA kernel's ``_precision_for`` (ops/psa_pallas.py): float32 sources
+    keep precision='highest' (JAX's default truncates f32 operands to
+    bfloat16; interpolation weights must apply at full f32), while
+    bfloat16 sources take the native single-pass MXU path (the operand
+    carries no extra mantissa for extra passes to preserve, and the
+    6-pass 'highest' decomposition costs 6x the MXU work — measured on
+    the ms-eval ladder, where the per-window bf16 logit upsample is a
+    top non-forward cost). Accumulation stays f32 either way
+    (``preferred_element_type``)."""
+    return "highest" if src_dtype == jnp.float32 else None
+
+
 def _apply_separable(x, mh, mw, squeeze, compute_dtype):
-    # precision='highest': JAX's default matmul precision truncates to
-    # bfloat16 inputs; interpolation weights must apply in full float32.
+    precision = _resize_precision(x.dtype)
     y = jnp.einsum(
         "oh,nhwc->nowc", mh, x.astype(compute_dtype),
-        preferred_element_type=compute_dtype, precision="highest",
+        preferred_element_type=compute_dtype, precision=precision,
     )
     y = jnp.einsum(
         "pw,nowc->nopc", mw, y,
-        preferred_element_type=compute_dtype, precision="highest",
+        preferred_element_type=compute_dtype, precision=precision,
     )
     y = y.astype(x.dtype)
     return y[0] if squeeze else y
@@ -130,13 +143,14 @@ def _apply_separable_cf(x, mh, mw, compute_dtype):
     # (8, 128), so a class-minor [H, W, C<128] f32 map pads C to 128
     # lanes and every elementwise pass pays 128/C the HBM traffic;
     # with W minor the padding is W -> ceil(W/128)*128 (~7% at 713).
+    precision = _resize_precision(x.dtype)
     y = jnp.einsum(
         "oh,...hw->...ow", mh, x.astype(compute_dtype),
-        preferred_element_type=compute_dtype, precision="highest",
+        preferred_element_type=compute_dtype, precision=precision,
     )
     y = jnp.einsum(
         "pw,...ow->...op", mw, y,
-        preferred_element_type=compute_dtype, precision="highest",
+        preferred_element_type=compute_dtype, precision=precision,
     )
     return y.astype(x.dtype)
 

@@ -74,6 +74,21 @@ VALUE_SCALE = 255
 MEAN = np.array([0.485, 0.456, 0.406], np.float32) * VALUE_SCALE
 STD = np.array([0.229, 0.224, 0.225], np.float32) * VALUE_SCALE
 
+# The torch arm costs ~17-27 s/step on this 1-core host (300 steps ≈
+# 1.5-2.5 h), long enough to straddle a session boundary. It therefore
+# checkpoints itself at every eval point into an UNTRACKED stash
+# (gitignored; /tmp does not survive sessions, the repo dir does) and
+# resumes bit-exactly: model + optimizer + numpy index-stream + torch
+# RNG state are all restored, so a resumed trajectory is identical to an
+# unbroken one (CPU torch ops are deterministic). The stash is deleted
+# once the seed's record line is written.
+STASH_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".conv_stash")
+
+
+def _stash_path(arch: str, seed: int, steps: int) -> str:
+    return os.path.join(STASH_DIR, f"torch_{arch}_seed{seed}_{steps}.pt")
+
 
 def run_torch(steps: int, train_set, val_set, seed: int = 0,
               arch: str = "psp"):
@@ -163,8 +178,34 @@ def run_torch(steps: int, train_set, val_set, seed: int = 0,
     model.train()
     rs = np.random.RandomState(seed + 1)  # same index stream as the JAX arm
     trajectory = []
+    start_step = 0
+    stash = _stash_path(arch, seed, steps)
+    if os.path.exists(stash):
+        snap = torch.load(stash, map_location="cpu")
+        model.load_state_dict(snap["model"])
+        opt.load_state_dict(snap["opt"])
+        rs.set_state(snap["np_rng"])
+        torch.set_rng_state(snap["torch_rng"])
+        trajectory = [tuple(p) for p in snap["trajectory"]]
+        start_step = snap["step"]
+        print(json.dumps({"framework": "torch_reference", "arch": arch,
+                          "resumed_from_step": start_step}), flush=True)
+
+    def _save_stash(step_done):
+        os.makedirs(STASH_DIR, exist_ok=True)
+        tmp = stash + ".tmp"
+        torch.save({
+            "step": step_done,
+            "model": model.state_dict(),
+            "opt": opt.state_dict(),
+            "np_rng": rs.get_state(),
+            "torch_rng": torch.get_rng_state(),
+            "trajectory": trajectory,
+        }, tmp)
+        os.replace(tmp, stash)
+
     t0 = time.time()
-    for step in range(steps):
+    for step in range(start_step, steps):
         idx = rs.randint(0, len(tr_images), BATCH)
         x = normalize_nchw(tr_images[idx])
         y = torch.from_numpy(tr_labels[idx].astype(np.int64))
@@ -189,6 +230,7 @@ def run_torch(steps: int, train_set, val_set, seed: int = 0,
                 "loss": round(float(loss.detach()), 4),
                 "elapsed_s": round(time.time() - t0, 1),
             }), flush=True)
+            _save_stash(step + 1)
     return trajectory, init_sd
 
 
@@ -290,6 +332,9 @@ def main():
     print(line)
     with open(RECORD, "a") as f:
         f.write(line + "\n")
+    stash = _stash_path(arch, seed, steps)
+    if os.path.exists(stash):
+        os.remove(stash)  # the record is written; the stash is spent
 
 
 if __name__ == "__main__":
