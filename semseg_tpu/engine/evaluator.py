@@ -228,7 +228,19 @@ class SlidingWindowEvaluator:
             logits = resize_bilinear_align_corners_cf(
                 logits, (images.shape[1], images.shape[2])
             )
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+        # On a bf16 model the per-window full-res probs are the dominant
+        # post-forward intermediates (attribution: tool/ms_attrib.py);
+        # carry them in the model's own compute dtype between the softmax
+        # and the stitch — softmax reductions stay f32, the stitch
+        # accumulator stays f32 (bf16 x f32 weight promotes), only the
+        # [B, C, crop, crop] containers halve their HBM traffic. Probs
+        # are in [0, 1]: bf16 rounding is ~3e-3 relative, inside the
+        # bf16 path's existing numeric license (the logits themselves
+        # carry bf16 noise). f32 models are untouched.
+        if getattr(self.model, "dtype", None) == jnp.bfloat16:
+            probs = probs.astype(jnp.bfloat16)
+        return probs
 
     # ------------------------------------------------------------------
     # device mode: one jitted program per (image shape, scale)
