@@ -75,10 +75,14 @@ def make_dataset(seed, n):
 
 
 def run(dtype_name: str, steps: int, train_set, val_set, seed=0,
-        init_variables=None):
+        init_variables=None, stream_offset=0):
     """One training arm. ``init_variables`` (optional plain-dict
     {"params", "batch_stats"}) overrides the random init — used by
-    convergence_cross.py to start from the torch reference's init."""
+    convergence_cross.py to start from the torch reference's init.
+    ``stream_offset`` shifts the stochastic streams (dropout rng and the
+    batch-index stream) while keeping the init fixed — within-arm
+    replica runs for the seed-noise measurement use it (0 reproduces the
+    historical behavior: rng_seed 0, index stream seed+1)."""
     import jax
     import jax.numpy as jnp
 
@@ -129,7 +133,7 @@ def run(dtype_name: str, steps: int, train_set, val_set, seed=0,
         model, classes=CLASSES, ignore_label=255, aux_weight=AUX_W,
         base_lr=BASE_LR, max_iter=steps, power=0.9, momentum=MOMENTUM,
         weight_decay=WD, zoom_factor=8, num_replicas=1,
-        normalize=(mean, std),
+        normalize=(mean, std), rng_seed=stream_offset,
     )
     eval_step = make_eval_step(
         model, classes=CLASSES, ignore_label=255, zoom_factor=8,
@@ -154,7 +158,7 @@ def run(dtype_name: str, steps: int, train_set, val_set, seed=0,
         )
         return float(m_iou)
 
-    rs = np.random.RandomState(seed + 1)
+    rs = np.random.RandomState(seed + 1 + stream_offset)
     trajectory = []
     t0 = time.time()
     for step in range(steps):
