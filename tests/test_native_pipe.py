@@ -165,6 +165,64 @@ def test_native_rotation_within_library_variance(hostpipe, png_dataset):
     assert rotated <= fired
 
 
+def test_native_rotation_divergence_is_boundary_bin_jitter(hostpipe,
+                                                           png_dataset):
+    """Characterize the rotate-chain label divergence exactly (round-5
+    verdict item 5): the two OpenCV builds (system 4.6 in the C++
+    pipeline vs the cv2 5.0 wheel in the Python/reference path,
+    `util/transform.py:168-193`) may quantize warpAffine sample
+    coordinates into different 1/32-subpixel bins at ties, so a
+    divergent output pixel sampled source texel s in one build and a
+    <=1-texel neighbor s' in the other. In OUTPUT space that means every
+    divergent pixel must (a) sit on a class boundary of the Python
+    label (some 3x3 neighbor differs) and (b) take a value present in
+    its own 3x3 Python neighborhood — i.e. the divergence is one-bin
+    boundary jitter, never a new class and never interior damage.
+
+    mIoU-irrelevance: boundary assignment at sub-pixel rotation ties is
+    already arbitrary under the reference's own augmentation (the angle
+    is continuous-random), so jitter confined to boundary bins is
+    statistically indistinguishable from an angle perturbation far
+    below augmentation variance; interiors — what the loss mass and the
+    IoU histograms are made of — are pinned equal here."""
+    from semseg_tpu.data.transform import per_sample_rng
+
+    root, lst = png_dataset
+    py_ds = _python_dataset(root, lst, rotate=True)
+    nat_ds = _native_dataset(hostpipe, root, lst, rotate=True)
+    divergent_total = 0
+    for epoch in range(3):
+        for idx in range(len(py_ds)):
+            with per_sample_rng(11, epoch, idx):
+                _, lab_py = py_ds[idx]
+            with per_sample_rng(11, epoch, idx):
+                _, lab_nat = nat_ds[idx]
+            lab_py = np.asarray(lab_py)
+            lab_nat = np.asarray(lab_nat)
+            diff = lab_nat != lab_py
+            if not diff.any():
+                continue
+            divergent_total += int(diff.sum())
+            pad_py = np.pad(lab_py, 1, mode="edge")
+            win = np.lib.stride_tricks.sliding_window_view(pad_py, (3, 3))
+            for y, x in zip(*np.nonzero(diff)):
+                neigh = win[y, x]
+                assert (neigh != lab_py[y, x]).any(), (
+                    f"divergent pixel NOT on a class boundary "
+                    f"e{epoch} i{idx} ({y},{x})"
+                )
+                assert (neigh == lab_nat[y, x]).any(), (
+                    f"divergent value not a 3x3 neighbor class "
+                    f"e{epoch} i{idx} ({y},{x}): "
+                    f"{lab_nat[y, x]} not in {np.unique(neigh)}"
+                )
+    # The characterization must cover actual divergence to mean anything
+    # when the builds disagree; if the builds agree bit-for-bit the
+    # stronger claim holds trivially and the strict no-rotation test
+    # already pins it.
+    print(f"divergent label pixels characterized: {divergent_total}")
+
+
 def test_native_augment_does_not_mutate_inputs(hostpipe):
     """With scale and rotation disabled, blur/flip must not write through
     into the caller's arrays (they alias the input until the first
