@@ -174,6 +174,8 @@ class BucketedPipeline:
         flip = ev.flip
         forward = ev._forward_cf
         constrain = ev._constrain_batch
+        fused = ev.fused_stitch
+        fused_apply = ev._forward_fused_pairs
 
         def program(variables, image_pad, mh, mw, uh, uw,
                     coords, weights, count_rows, count_cols):
@@ -218,9 +220,14 @@ class BucketedPipeline:
                 # class-minor f32 maps pad C to 128 lanes in the TPU's
                 # (8,128) tiling and every stitch pass pays 128/C the HBM
                 # bytes)
-                probs = forward(variables, constrain(batch))
-                if flip:
-                    probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
+                if fused:
+                    # fused upsample+softmax+flip Pallas kernel (see
+                    # evaluator._forward_fused_pairs)
+                    probs = fused_apply(variables, constrain(batch), wb)
+                else:
+                    probs = forward(variables, constrain(batch))
+                    if flip:
+                        probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
 
                 def put(i, a):
                     c = cs[i]

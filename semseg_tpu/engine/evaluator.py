@@ -108,6 +108,7 @@ class SlidingWindowEvaluator:
         bucket: int = 128,
         mesh=None,
         partition: str = "window",
+        fused_stitch: Optional[bool] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — run the jitted scale
         programs SPMD over multiple chips (single-process multi-chip eval;
@@ -161,6 +162,32 @@ class SlidingWindowEvaluator:
             self.variables = jax.device_put(
                 variables, NamedSharding(mesh, PartitionSpec())
             )
+        # Fused per-window upsample+softmax+flip Pallas kernel
+        # (ops/stitch_pallas.py): collapses the largest post-forward
+        # ms-eval leg (the 219 ms/img attribution row) into one
+        # VMEM-resident pass. ``None`` = auto: bf16 models with flip TTA
+        # and a zoomed head, on any backend (interpreter on CPU). f32
+        # models always keep the exact reference-numerics XLA path.
+        self._fused_interpret = jax.default_backend() == "cpu"
+        if fused_stitch is None:
+            from semseg_tpu.ops.stitch_pallas import supported
+
+            fused_stitch = (
+                flip
+                and getattr(model, "dtype", None) == jnp.bfloat16
+                and getattr(model, "zoom_factor", 1) != 1
+                and supported(crop_h, crop_w, jnp.bfloat16)
+                # multi-chip GSPMD eval keeps the XLA path (a pallas_call
+                # does not partition under with_sharding_constraint)
+                and mesh is None
+            )
+        self.fused_stitch = bool(fused_stitch)
+        self._model_lowres = None
+        if self.fused_stitch:
+            # Same params, logits emitted at feature resolution: the
+            # zoom upsample moves into the fused kernel (the model's
+            # internal resize is the identical align-corners matrix).
+            self._model_lowres = model.clone(zoom_factor=1)
         self._forward = jax.jit(self._forward_impl)
         self._scale_fns = {}
         # Cross-scale combiners run as ONE program each: summing K
@@ -241,6 +268,25 @@ class SlidingWindowEvaluator:
         if getattr(self.model, "dtype", None) == jnp.bfloat16:
             probs = probs.astype(jnp.bfloat16)
         return probs
+
+    def _forward_fused_pairs(self, variables, batch, wb):
+        """[2*wb, crop_h, crop_w, 3] (originals ++ flipped) -> averaged
+        probs [wb, C, crop_h, crop_w] with the zoom upsample, f32
+        softmax and flip average fused into one Pallas kernel — no
+        crop-resolution intermediate ever round-trips HBM
+        (ops/stitch_pallas.py; semantics = reference tool/test.py:135-143
+        with the model's own zoom resize, model/pspnet.py:94-95)."""
+        from semseg_tpu.ops.stitch_pallas import upsample_softmax_flip
+
+        logits = self._model_lowres.apply(
+            variables, self._normalize(batch), train=False
+        )  # [2*wb, hs, ws, C]
+        lt = jnp.transpose(logits, (0, 1, 3, 2))  # [2*wb, hs, C, ws]
+        pairs = jnp.stack([lt[:wb], lt[wb:]], axis=1)
+        return upsample_softmax_flip(
+            pairs, (self.crop_h, self.crop_w),
+            interpret=self._fused_interpret,
+        )
 
     # ------------------------------------------------------------------
     # device mode: one jitted program per (image shape, scale)
@@ -327,6 +373,8 @@ class SlidingWindowEvaluator:
         flip = self.flip
         model_apply = self._forward_cf
         constrain = self._constrain_batch
+        fused = self.fused_stitch
+        fused_apply = self._forward_fused_pairs
 
         def scale_fn(variables, image):
             # Accept uint8 uploads (4x less host->device traffic) and cast
@@ -356,11 +404,14 @@ class SlidingWindowEvaluator:
                     if flip
                     else wins
                 )
-                probs = model_apply(variables, constrain(batch))
-                if flip:
-                    # un-flip = reverse W, the minor axis here (lane
-                    # reversal, one fused VPU pass on unpadded rows)
-                    probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
+                if fused:
+                    probs = fused_apply(variables, constrain(batch), wb)
+                else:
+                    probs = model_apply(variables, constrain(batch))
+                    if flip:
+                        # un-flip = reverse W, the minor axis here (lane
+                        # reversal, one fused VPU pass on unpadded rows)
+                        probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
 
                 def put(i, a):
                     c = cs[i]

@@ -111,13 +111,19 @@ def _resize_precision(src_dtype):
     PSA kernel's ``_precision_for`` (ops/psa_pallas.py): float32 sources
     keep precision='highest' (JAX's default truncates f32 operands to
     bfloat16; interpolation weights must apply at full f32), while
-    bfloat16 sources take the native single-pass MXU path (the operand
+    bfloat16 sources take the native single-pass MXU path: the operand
     carries no extra mantissa for extra passes to preserve, and the
     6-pass 'highest' decomposition costs 6x the MXU work — measured on
     the ms-eval ladder, where the per-window bf16 logit upsample is a
-    top non-forward cost). Accumulation stays f32 either way
-    (``preferred_element_type``)."""
-    return "highest" if src_dtype == jnp.float32 else None
+    top non-forward cost. Note the single-pass path ALSO truncates the
+    f32 interpolation-weight matrix to bf16, so a row's (1-frac, frac)
+    pair, rounded independently, may not sum to exactly 1 — up to ~0.2%
+    per-pixel drift even on constant inputs. The error is class-uniform
+    per pixel (argmax-invariant) and inside the bf16 path's existing
+    rounding license. Accumulation stays f32 either way
+    (``preferred_element_type``). Any dtype OTHER than bfloat16 (f32,
+    f16, f64) keeps the exact 'highest' path."""
+    return None if src_dtype == jnp.bfloat16 else "highest"
 
 
 def _apply_separable(x, mh, mw, squeeze, compute_dtype):
