@@ -18,7 +18,14 @@ weights baked in as constants. The artifact is:
   backend-specific custom calls, so PSANet models should be built with
   ``fused_attention=False`` (pure-XLA attention) before export — the
   Pallas kernel serializes as a Mosaic TPU custom call that only a TPU
-  runtime of a compatible version can consume.
+  runtime of a compatible version can consume. A **TPU-targeted**
+  export (``platforms=("tpu",)`` + ``allow_tpu_custom_calls=True``)
+  keeps the fused kernel: jax.export guarantees Mosaic custom-call
+  compatibility only within its published backwards-compatibility
+  window (~6 months of jaxlib/libtpu releases), so ship TPU-targeted
+  artifacts with the exporting jax version pinned in deployment
+  metadata and re-export when the serving runtime rolls past the
+  window. The XLA-attention path stays the portable default.
 
 The served function is the eval-forward contract of the sliding-window
 engine's ``net_process`` (reference ``tool/test.py:122-146``): raw RGB
@@ -62,11 +69,35 @@ def make_serving_fn(model, variables, *, mean: Sequence[float],
     return fn
 
 
+def _export_kwargs(platforms, allow_tpu_custom_calls):
+    from jax import export as jexport
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    if allow_tpu_custom_calls:
+        if platforms is not None and any(p != "tpu" for p in platforms):
+            raise ValueError(
+                "allow_tpu_custom_calls requires a tpu-only platform list: "
+                f"a Mosaic custom call cannot run on {platforms}"
+            )
+        kwargs["disabled_checks"] = [
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")
+        ]
+    return kwargs
+
+
 def export_serving(model, variables, *, crop_h: int, crop_w: int,
                    mean: Sequence[float], std: Optional[Sequence[float]],
                    output: str = "probs",
-                   platforms: Optional[Sequence[str]] = None):
+                   platforms: Optional[Sequence[str]] = None,
+                   allow_tpu_custom_calls: bool = False):
     """Lower + export the serving function over a symbolic batch dim.
+
+    ``allow_tpu_custom_calls``: permit Mosaic (Pallas) custom calls in
+    the artifact — TPU-targeted exports that keep the fused PSA
+    attention kernel (see the module docstring's version-compat note).
+    Requires a tpu-only ``platforms``.
 
     Returns a ``jax.export.Exported``; ``.serialize()`` yields the
     deployable bytes.
@@ -76,15 +107,14 @@ def export_serving(model, variables, *, crop_h: int, crop_w: int,
     fn = make_serving_fn(model, variables, mean=mean, std=std, output=output)
     (batch,) = jexport.symbolic_shape("batch")
     spec = jax.ShapeDtypeStruct((batch, crop_h, crop_w, 3), jnp.float32)
-    kwargs = {}
-    if platforms is not None:
-        kwargs["platforms"] = tuple(platforms)
+    kwargs = _export_kwargs(platforms, allow_tpu_custom_calls)
     return jexport.export(jax.jit(fn), **kwargs)(spec)
 
 
 def export_sliding_window(evaluator, h: int, w: int, *,
                           image_dtype=jnp.uint8,
-                          platforms: Optional[Sequence[str]] = None):
+                          platforms: Optional[Sequence[str]] = None,
+                          allow_tpu_custom_calls: bool = False):
     """Export the evaluator's FULL fused sliding-window program for a
     fixed input shape (h, w): per-scale long-side resize → mean pad →
     window-grid forwards with flip TTA → count-normalized stitch →
@@ -111,9 +141,7 @@ def export_sliding_window(evaluator, h: int, w: int, *,
         return raw(variables, image)
 
     spec = jax.ShapeDtypeStruct((h, w, 3), image_dtype)
-    kwargs = {}
-    if platforms is not None:
-        kwargs["platforms"] = tuple(platforms)
+    kwargs = _export_kwargs(platforms, allow_tpu_custom_calls)
     return jexport.export(jax.jit(fn), **kwargs)(spec)
 
 

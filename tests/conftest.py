@@ -7,7 +7,11 @@ this file is imported by pytest before test modules.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session default is the TPU
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU relay plugin
+_axon = os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU relay
+if _axon is not None:
+    # stash for TPU-marked subprocess tests (test_export.py) that need
+    # the real chip back
+    os.environ["SEMSEG_AXON_POOL_IPS_ORIG"] = _axon
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()

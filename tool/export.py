@@ -33,6 +33,11 @@ Note on PSANet: a portable (cross-platform) artifact must not embed the
 Mosaic TPU custom call, so export builds PSA models with
 ``fused_attention False`` unless the config forces it (the pure-XLA
 attention path — numerically interchangeable, see tests/test_psa_pallas).
+A TPU-targeted export (``export_platforms "['tpu']"``) keeps the fused
+Pallas attention kernel in the artifact (Mosaic custom call allowed);
+see the version-compat note in ``semseg_tpu/engine/export.py`` — pin the
+exporting jax version in deployment metadata and re-export when the
+serving runtime rolls past jax.export's Mosaic compatibility window.
 """
 
 import os
@@ -75,10 +80,21 @@ def run(cfg):
     if fmt != "stablehlo":
         raise ValueError(f"unknown export_format {fmt!r}")
 
+    platforms = cfg.get("export_platforms")
+    tpu_only = bool(platforms) and all(p == "tpu" for p in platforms)
     # Portable artifact: keep the attention on the pure-XLA path unless
-    # the config explicitly forces the fused kernel.
+    # the config explicitly forces the fused kernel OR the export is
+    # TPU-targeted (export_platforms "['tpu']"), where the Mosaic custom
+    # call is servable and the fused kernel stays (version-compat note in
+    # engine/export.py — re-export when the serving runtime rolls past
+    # jax.export's Mosaic compatibility window).
     if cfg.arch == "psa" and cfg.get("fused_attention") is None:
-        cfg["fused_attention"] = False
+        # explicit, not backend-auto: the artifact must not depend on the
+        # exporting process's platform
+        cfg["fused_attention"] = tpu_only
+    allow_tpu_cc = bool(
+        tpu_only and cfg.arch == "psa" and cfg.get("fused_attention")
+    )
     model, updates = build_model(cfg, dtype=jnp.float32)
     for k, v in updates.items():
         cfg[k] = v
@@ -89,7 +105,6 @@ def run(cfg):
     value_scale = 255
     mean = [0.485 * value_scale, 0.456 * value_scale, 0.406 * value_scale]
     std = [0.229 * value_scale, 0.224 * value_scale, 0.225 * value_scale]
-    platforms = cfg.get("export_platforms")
     scope = cfg.get("export_scope") or "crop"
     if scope == "full":
         from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
@@ -109,7 +124,8 @@ def run(cfg):
             scales=list(cfg.get("scales") or [1.0]),
         )
         exported = export_sliding_window(
-            evaluator, int(h), int(w), platforms=platforms)
+            evaluator, int(h), int(w), platforms=platforms,
+            allow_tpu_custom_calls=allow_tpu_cc)
     elif scope == "crop":
         exported = export_serving(
             model, variables,
@@ -118,6 +134,7 @@ def run(cfg):
             mean=mean, std=std,
             output=cfg.get("export_output") or "probs",
             platforms=platforms,
+            allow_tpu_custom_calls=allow_tpu_cc,
         )
     else:
         raise ValueError(f"unknown export_scope {scope!r}")

@@ -241,10 +241,14 @@ def main():
         cv2.resize(bgr, (W, H), interpolation=cv2.INTER_LINEAR),
         cv2.COLOR_BGR2RGB,
     )
+    # MS_FUSED=0 forces the pre-round-5 XLA window path (A/B for the
+    # fused upsample+softmax+flip Pallas kernel); default = auto.
+    fused_env = os.environ.get("MS_FUSED")
     ev = SlidingWindowEvaluator(
         model, variables, classes=19, crop_h=713, crop_w=713,
         mean=mean, std=std, base_size=2048, scales=SCALES,
         window_batch=wbatch, mode="device",
+        fused_stitch=None if fused_env is None else fused_env == "1",
     )
     img_dev = jax.device_put(jnp.asarray(image))
     jax.block_until_ready(img_dev)

@@ -27,6 +27,52 @@ import numpy as np
 
 def _emit(name, **kv):
     print(json.dumps({"measurement": name, **kv}), flush=True)
+    if "images_per_sec_chip" in kv:
+        _record(name, kv)
+
+
+def _record(name, kv):
+    """Append the measurement to the PERF_RECORD.jsonl ledger — the
+    committed artifact the doc-consistency test
+    (tests/test_doc_consistency.py) checks every PARITY/README img/s
+    quote against. Recording at capture time is what keeps prose and
+    artifacts from drifting (round-4 advisor finding)."""
+    row = {
+        "metric": name,
+        "value": kv["images_per_sec_chip"],
+        "unit": "img/s/chip",
+        "source": "tool/perf_report.py "
+                  + time.strftime("%Y-%m-%d", time.gmtime()),
+    }
+    for k in ("link_MB_per_s", "window_links_MB_per_s", "window_healthy",
+              "n_healthy", "windows", "dtype", "batch", "bucket"):
+        if k in kv:
+            row[k] = kv[k]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF_RECORD.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def _make_link_probe(nbytes=6 << 20):
+    """Relay-bandwidth probe (same method as bench.py): time a few
+    uploads of a ~6 MB buffer through device_put + tiny readback. Every
+    eval measurement carries its probe so a slow number under a slow
+    probe reads as link weather, not chip speed."""
+    import jax
+
+    buf = np.random.RandomState(7).rand(nbytes // 4).astype(np.float32)
+    probe_fn = jax.jit(lambda x: x.sum())
+    np.asarray(probe_fn(jax.device_put(buf)))  # compile outside timing
+
+    def probe(n_uploads=3):
+        t0 = time.perf_counter()
+        vals = [probe_fn(jax.device_put(buf)) for _ in range(n_uploads)]
+        _ = [np.asarray(v) for v in vals]
+        return round(n_uploads * buf.nbytes / 1e6
+                     / (time.perf_counter() - t0), 1)
+
+    return probe
 
 
 def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
@@ -311,28 +357,48 @@ def section_eval():
         for img in images:  # warm-up / compile all buckets
             evaluator.predict(img)
         compile_s = time.perf_counter() - t0
+        # Windowed capture with per-window link probes (the bench.py
+        # method): each window is `reps` passes over the image set; the
+        # reported number is the median of link-healthy windows, so a
+        # degraded-relay period cannot poison the record (round-4's
+        # bucketed re-capture hit a ~5 MB/s stall and was unusable).
+        probe = _make_link_probe()
+        link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
+        n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
+        reps = 2
         bytes0 = evaluator._bucketed.bytes_uploaded
-        start = time.perf_counter()
-        reps = 4
-        pending = []
-        for _ in range(reps):
-            for img in images:
-                pending.append(evaluator.predict_async(img))
-        results = [np.asarray(p) for p in pending]
-        elapsed = time.perf_counter() - start
-        assert len(results) == reps * len(images)
+        rates, links = [], []
+        for _ in range(n_windows):
+            start = time.perf_counter()
+            pending = []
+            for _ in range(reps):
+                for img in images:
+                    pending.append(evaluator.predict_async(img))
+            results = [np.asarray(p) for p in pending]
+            rates.append(round(len(results) / (time.perf_counter() - start), 2))
+            links.append(probe())
+        upload_kb = round(
+            (evaluator._bucketed.bytes_uploaded - bytes0)
+            / (n_windows * reps * len(images)) / 1e3, 1)
+        healthy = [li >= link_floor for li in links]
+        scored = [r for r, h in zip(rates, healthy) if h]
+        if len(scored) < 2:  # whole capture under bad weather: report all
+            scored = rates
         _emit(
             "eval_ss_ade20k_shapes_pspnet50_bucketed",
             bucket=bucket,
-            images_per_sec_chip=round(len(results) / elapsed, 2),
+            images_per_sec_chip=round(float(np.median(scored)), 2),
+            windows=rates,
+            window_links_MB_per_s=links,
+            window_healthy=healthy,
+            n_healthy=sum(healthy),
+            link_MB_per_s=round(float(np.median(links)), 1),
             programs=len(evaluator._bucketed._programs),
             shapes=len(set(shapes)),
             warmup_s=round(compile_s, 1),
             # host->device transfer per image in the timed loop (warm
             # caches: repeat sizes upload only the image itself).
-            upload_KB_per_image=round(
-                (evaluator._bucketed.bytes_uploaded - bytes0)
-                / len(results) / 1e3, 1),
+            upload_KB_per_image=upload_kb,
         )
 
 
@@ -383,22 +449,111 @@ def section_eval_ms():
     evaluator.predict(image)  # compile all 6 scale programs + combiner
     compile_s = time.perf_counter() - t0
     np.asarray(evaluator.predict_async(image))  # settle the link
-    n_iters = int(os.environ.get("PERF_MS_ITERS", "6"))
-    start = time.perf_counter()
-    pending = [evaluator.predict_async(image) for _ in range(n_iters)]
-    results = [np.asarray(p) for p in pending]
-    elapsed = time.perf_counter() - start
-    assert all(r.shape == (1024, 2048) for r in results)
+    n_iters = int(os.environ.get("PERF_MS_ITERS", "3"))
+    n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
+    probe = _make_link_probe()
+    link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
+    rates, links = [], []
+    for _ in range(n_windows):
+        start = time.perf_counter()
+        pending = [evaluator.predict_async(image) for _ in range(n_iters)]
+        results = [np.asarray(p) for p in pending]
+        rates.append(round(n_iters / (time.perf_counter() - start), 3))
+        links.append(probe())
+        assert all(r.shape == (1024, 2048) for r in results)
+    healthy = [li >= link_floor for li in links]
+    scored = [r for r, h in zip(rates, healthy) if h]
+    if len(scored) < 2:
+        scored = rates
     _emit(
         f"eval_ms{len(scales)}_cityscapes_pspnet{layers}",
         scales=len(scales),
-        images_per_sec_chip=round(n_iters / elapsed, 2),
+        images_per_sec_chip=round(float(np.median(scored)), 3),
+        windows=rates,
+        window_links_MB_per_s=links,
+        window_healthy=healthy,
+        n_healthy=sum(healthy),
+        link_MB_per_s=round(float(np.median(links)), 1),
+        fused_stitch=evaluator.fused_stitch,
+        warmup_s=round(compile_s, 1),
+    )
+
+
+def section_eval_psa():
+    """Cityscapes 1024x2048 single-scale sliding-window eval, PSANet50
+    (705 crop, mask 89^2, fused Pallas attention under the CURRENT
+    dispatch rule — resident kernel at hw=2025). Re-measures the
+    PARITY.md PSA ss row that was captured round 2 under the old
+    dispatch (round-5 verdict item 4)."""
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+    from semseg_tpu.models import PSANet
+
+    model = PSANet(
+        layers=50, classes=19, zoom_factor=8, dtype=jnp.bfloat16,
+        psa_type=2, compact=False, shrink_factor=2, mask_h=89, mask_w=89,
+        normalization_factor=1.0, psa_softmax=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x, train=False)
+    )(rng, jnp.zeros((1, 705, 705, 3), jnp.float32))
+    value_scale = 255
+    mean = [m * value_scale for m in (0.485, 0.456, 0.406)]
+    std = [s * value_scale for s in (0.229, 0.224, 0.225)]
+    demo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "figure", "demo", "ADE_val_00001515.jpg")
+    bgr = cv2.imread(demo, cv2.IMREAD_COLOR)
+    image = cv2.cvtColor(
+        cv2.resize(bgr, (2048, 1024), interpolation=cv2.INTER_LINEAR),
+        cv2.COLOR_BGR2RGB,
+    )
+    evaluator = SlidingWindowEvaluator(
+        model, variables, classes=19, crop_h=705, crop_w=705,
+        mean=mean, std=std, base_size=2048, scales=[1.0],
+        window_batch=int(os.environ.get("PERF_WINDOW_BATCH", "16")),
+        mode="device",
+    )
+    t0 = time.perf_counter()
+    evaluator.predict(image)
+    compile_s = time.perf_counter() - t0
+    np.asarray(evaluator.predict_async(image))
+    n_iters = int(os.environ.get("PERF_MS_ITERS", "6"))
+    n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
+    probe = _make_link_probe()
+    link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
+    rates, links = [], []
+    for _ in range(n_windows):
+        start = time.perf_counter()
+        pending = [evaluator.predict_async(image) for _ in range(n_iters)]
+        results = [np.asarray(p) for p in pending]
+        rates.append(round(n_iters / (time.perf_counter() - start), 3))
+        links.append(probe())
+        assert all(r.shape == (1024, 2048) for r in results)
+    healthy = [li >= link_floor for li in links]
+    scored = [r for r, h in zip(rates, healthy) if h]
+    if len(scored) < 2:
+        scored = rates
+    _emit(
+        "eval_ss_cityscapes_psanet50_705",
+        images_per_sec_chip=round(float(np.median(scored)), 3),
+        windows=rates,
+        window_links_MB_per_s=links,
+        window_healthy=healthy,
+        n_healthy=sum(healthy),
+        link_MB_per_s=round(float(np.median(links)), 1),
+        fused_stitch=evaluator.fused_stitch,
         warmup_s=round(compile_s, 1),
     )
 
 
 SECTIONS = {"train": section_train, "loader": section_loader,
-            "eval": section_eval, "eval_ms": section_eval_ms}
+            "eval": section_eval, "eval_ms": section_eval_ms,
+            "eval_psa": section_eval_psa}
 
 
 def main():
