@@ -424,6 +424,62 @@ def summarize_band(arch: str = "psp"):
         f.write(line + "\n")
 
 
+def seed_stats():
+    """SUPPLEMENTARY (does not replace the registered adjudication):
+    decompose the per-seed gap variance into its two sources —
+    within-seed stream noise (replica sets: same init, shifted
+    dropout/batch streams) vs across-seed init-level variation — and
+    report the across-seed mean gap with its standard error. This is
+    the measured answer to 'is a -2.49pt seed a tail-regime divergence
+    or noise': if |across-seed mean| is small relative to the
+    across-seed sigma and replica-mean gaps occur in BOTH directions at
+    similar magnitude, per-seed excursions are init-level noise."""
+    recs = _read_record()
+    out = {"metric": "seed_level_decomposition"}
+    for arch in ("psp", "psa"):
+        pairs = [r for r in recs
+                 if r.get("metric") == "cross_framework_val_mIoU_gap"
+                 and r.get("arch", "psp") == arch]
+        if not pairs:
+            continue
+        horizon = max(r["steps"] for r in pairs)
+        pairs = [r for r in pairs if r["steps"] == horizon]
+        gaps = np.array(sorted(
+            (r.get("seed", 0),
+             r["torch_reference_final"] - r["ours_f32_final"])
+            for r in pairs
+        ))
+        across = {
+            "seeds": [int(s) for s in gaps[:, 0]],
+            "gaps_points": [round(g * 100, 2) for g in gaps[:, 1]],
+            "mean_gap_points": round(float(gaps[:, 1].mean()) * 100, 2),
+            "across_seed_sigma_points": round(
+                float(gaps[:, 1].std(ddof=1)) * 100, 2),
+            "sem_points": round(
+                float(gaps[:, 1].std(ddof=1) / np.sqrt(len(gaps))) * 100, 2),
+        }
+        # replica sets: within-seed stream sigma + per-seed replica-mean
+        reps = {}
+        for r in recs:
+            if r.get("metric") in ("cross_framework_val_mIoU_gap",
+                                   "within_arm_replica") \
+                    and r.get("arch", "psp") == arch:
+                reps.setdefault(r.get("seed", 0), []).append(
+                    r["torch_reference_final"] - r["ours_f32_final"])
+        rep_sets = {s: v for s, v in reps.items() if len(v) >= 3}
+        across["replica_sets"] = {
+            str(s): {
+                "n": len(v),
+                "mean_gap_points": round(float(np.mean(v)) * 100, 2),
+                "stream_sigma_points": round(
+                    float(np.std(v, ddof=1)) * 100, 2),
+            }
+            for s, v in sorted(rep_sets.items())
+        }
+        out[arch] = across
+    _append_record(out)
+
+
 def main():
     import argparse
 
@@ -440,6 +496,7 @@ def main():
     ap.add_argument("--band", action="store_true")
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--sigma", action="store_true")
+    ap.add_argument("--seedstats", action="store_true")
     ns = ap.parse_args()
     arch, steps, seed, replica = ns.arch, ns.steps, ns.seed, ns.replica
     if ns.band:
@@ -450,6 +507,9 @@ def main():
         return
     if ns.sigma:
         adjudicate_sigma()
+        return
+    if ns.seedstats:
+        seed_stats()
         return
     train_set = make_dataset(0, 256)
     val_set = make_dataset(1, 64)
