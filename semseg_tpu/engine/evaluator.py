@@ -166,14 +166,17 @@ class SlidingWindowEvaluator:
         # (ops/stitch_pallas.py): collapses the largest post-forward
         # ms-eval leg (the 219 ms/img attribution row) into one
         # VMEM-resident pass. ``None`` = auto: bf16 models with flip TTA
-        # and a zoomed head, on any backend (interpreter on CPU). f32
-        # models always keep the exact reference-numerics XLA path.
-        self._fused_interpret = jax.default_backend() == "cpu"
+        # and a zoomed head, on the TPU backend only (on CPU the kernel
+        # would run in the Pallas interpreter — correct but far slower
+        # than XLA; tests force ``fused_stitch=True`` to exercise it).
+        # f32 models always keep the exact reference-numerics XLA path.
+        self._fused_interpret = jax.default_backend() != "tpu"
         if fused_stitch is None:
             from semseg_tpu.ops.stitch_pallas import supported
 
             fused_stitch = (
                 flip
+                and jax.default_backend() == "tpu"
                 and getattr(model, "dtype", None) == jnp.bfloat16
                 and getattr(model, "zoom_factor", 1) != 1
                 and supported(crop_h, crop_w, jnp.bfloat16)

@@ -129,8 +129,12 @@ def test_evaluator_fused_matches_unfused(mode):
         std=[1.0, 1.0, 1.0], base_size=57, scales=[0.75, 1.0],
         flip=True, window_batch=4, mode=mode,
     )
-    fused = SlidingWindowEvaluator(_ZoomModel(), {}, **kwargs)
-    assert fused.fused_stitch, "auto-dispatch should engage (bf16+zoom+flip)"
+    # auto-dispatch is TPU-only; force the fused path on the CPU test
+    # backend (runs in the Pallas interpreter)
+    fused = SlidingWindowEvaluator(
+        _ZoomModel(), {}, fused_stitch=True, **kwargs
+    )
+    assert fused.fused_stitch
     plain = SlidingWindowEvaluator(
         _ZoomModel(), {}, fused_stitch=False, **kwargs
     )
