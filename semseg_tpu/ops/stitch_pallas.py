@@ -113,9 +113,14 @@ def _kernel(l_ref, rh_ref, rw_ref, out_ref, u_ref, *, hs, ws, c, out_w,
     out_ref[0] = jnp.transpose(probs, (1, 0, 2)).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
 def upsample_softmax_flip(logits_pairs, out_hw, interpret: bool = False):
     """Fused zoom-upsample + softmax + flip-TTA average.
+
+    NOT jitted here: callers are already inside a jitted scale program,
+    and a nested jit wrapping a pallas_call trips an MLIR
+    cached-lowering KeyError ('closed_call') when the same kernel is
+    instantiated at several scales of one outer program (observed on
+    jax 0.8 lowering the 6-scale ms program).
 
     ``logits_pairs``: [P, 2, hs, C, ws] window-pair logits at feature
     resolution — half 0 the original window's forward, half 1 the
