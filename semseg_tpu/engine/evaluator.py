@@ -179,7 +179,7 @@ class SlidingWindowEvaluator:
                 and jax.default_backend() == "tpu"
                 and getattr(model, "dtype", None) == jnp.bfloat16
                 and getattr(model, "zoom_factor", 1) != 1
-                and supported(crop_h, crop_w, jnp.bfloat16)
+                and supported(crop_h, crop_w, jnp.bfloat16, c=classes)
                 # multi-chip GSPMD eval keeps the XLA path (a pallas_call
                 # does not partition under with_sharding_constraint)
                 and mesh is None
@@ -284,7 +284,7 @@ class SlidingWindowEvaluator:
         logits = self._model_lowres.apply(
             variables, self._normalize(batch), train=False
         )  # [2*wb, hs, ws, C]
-        lt = jnp.transpose(logits, (0, 1, 3, 2))  # [2*wb, hs, C, ws]
+        lt = jnp.transpose(logits, (0, 3, 1, 2))  # [2*wb, C, hs, ws]
         pairs = jnp.stack([lt[:wb], lt[wb:]], axis=1)
         return upsample_softmax_flip(
             pairs, (self.crop_h, self.crop_w),

@@ -23,16 +23,25 @@ Two exactness-preserving rewrites make it fuseable:
   output columns reversed — a PERMUTATION of the precomputed interp
   matrix, exact to the bit. The flipped half therefore uses
   ``Rw[:, ::-1]`` and no data movement at crop resolution.
-- The separable upsample is W-first (once per pair, into a bf16 VMEM
-  scratch) then H per row-strip. The current XLA path rounds the
-  resize result to bf16 before the softmax; rounding between the two
-  passes instead is inside the same bf16 license (f32 models keep the
-  exact XLA path — the kernel only dispatches for bf16).
+- The separable upsample runs H-first PER ROW STRIP: ``Rh_strip @ L``
+  gives a [th, ws] sliver, rounded to bf16 (the XLA path rounds the
+  resize result to bf16 before its softmax; rounding between the two
+  separable passes instead is inside the same bf16 license — f32
+  models keep the exact XLA path, the kernel only dispatches for
+  bf16), then ``@ Rw`` widens it. H-first and W-first cost identical
+  FLOPs (``out_h*hs*ws + out_h*ws*out_w`` vs
+  ``hs*ws*out_w + out_h*hs*out_w`` — equal for square crops), but
+  H-first needs NO persistent W-upsampled scratch, which is what kept
+  the previous layout over the 16 MB scoped-VMEM budget.
 
-Grid: ``(pairs, row_strips)``, both sequential; the W-upsampled pair
-scratch persists across its strips. MXU shapes: W-pass
-``[hs*C, ws] @ [ws, out_w]``; H-pass ``[th, hs] @ [hs, C, out_w]``
-(batched over C by dot_general).
+Grid: ``(pairs, row_strips)``, both sequential. All matmuls are
+per-class 2D dots (H-pass ``[th, hs] @ [hs, ws]``, W-pass
+``[th, ws] @ [ws, out_w]``) — Mosaic rejects reshapes merging padded
+sublane dims, and the per-class layout drops them and the final
+transpose (softmax lands directly in the [C, th, out_w] output block).
+The two flip halves share ONE [C, th, out_w] f32 scratch: half 0's
+softmax is written to the output block, half 1's is accumulated into
+it (read-modify-write on the same grid step).
 """
 
 from __future__ import annotations
@@ -47,22 +56,58 @@ from jax.experimental.pallas import tpu as pltpu
 from semseg_tpu.ops.resize import _interp_vectors
 
 
-def _strip_rows(out_h: int) -> int:
-    """Row-strip height: a divisor of out_h in [16, 64] (largest), else
-    the whole extent for small outputs. Returns 0 when no clean strip
-    exists (caller falls back to the XLA path)."""
-    divs = [d for d in range(16, 65) if out_h % d == 0]
-    if divs:
-        return max(divs)
-    if out_h <= 256:
-        return out_h
-    return 0
+STRIP = 32  # Mosaic: a block's sublane dim must be divisible by 8
 
 
-def supported(out_h: int, out_w: int, dtype) -> bool:
+def _padded_rows(out_h: int, th: int = STRIP) -> int:
+    """Crops are 8k+1 (odd), so no multiple-of-8 strip tiles out_h
+    exactly; the kernel computes ceil(out_h/th)*th rows (the pad
+    rows upsample zero logits -> uniform softmax) and the caller slices
+    the pad off — XLA fuses the slice into the consumer."""
+    return -(-out_h // th) * th
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def vmem_bytes(c: int, hs: int, ws: int, out_w: int, th: int = STRIP) -> int:
+    """Scoped-VMEM model for one grid step, with (sublane, lane) tile
+    padding — bf16 tiles are (16, 128), f32 (8, 128) — and double
+    buffering on the pipelined blocks. The T*PU scoped budget is 16 MB;
+    ``supported`` dispatches only under 12 MB to leave stack headroom
+    for the softmax temporaries (Mosaic counts those against the same
+    budget: the round-4 OOM was 'allocating on stack')."""
+    lane = lambda n: _ceil_to(n, 128)
+    b = 0
+    # input logits block (1, 2, c, hs, ws) bf16, double-buffered
+    b += 2 * 2 * c * _ceil_to(hs, 16) * lane(ws) * 2
+    # rh strip (th, hs) f32, double-buffered
+    b += 2 * th * lane(hs) * 4
+    # rw (2, ws, out_w) bf16, double-buffered
+    b += 2 * 2 * _ceil_to(ws, 16) * lane(out_w) * 2
+    # output block (1, c, th, out_w) bf16, double-buffered
+    b += 2 * c * th * lane(out_w) * 2
+    # f32 softmax scratch (c, th, out_w), single copy shared by both halves
+    b += c * th * lane(out_w) * 4
+    return b
+
+
+_VMEM_BUDGET = 12 * 2**20
+
+
+def supported(out_h, out_w, dtype, c=19, feat_h=None, feat_w=None) -> bool:
     """Dispatch rule: bf16 compute only (f32 keeps the exact
-    reference-numerics XLA path) and a clean row-strip factor."""
-    return dtype == jnp.bfloat16 and _strip_rows(out_h) > 0
+    reference-numerics XLA path) and the strip's working set must fit
+    the scoped-VMEM model (large class counts — ADE's 150 — blow the
+    budget and keep the XLA path). Feature dims default to the
+    zoom_factor=8 relation crops obey ((crop-1)/8+1, reference
+    model/pspnet.py:34-40)."""
+    if dtype != jnp.bfloat16:
+        return False
+    hs = feat_h if feat_h is not None else (out_h - 1) // 8 + 1
+    ws = feat_w if feat_w is not None else (out_w - 1) // 8 + 1
+    return vmem_bytes(c, hs, ws, out_w) <= _VMEM_BUDGET
 
 
 def _align_corners_matrix(in_size: int, out_size: int, dtype):
@@ -80,37 +125,37 @@ def _align_corners_matrix(in_size: int, out_size: int, dtype):
     return mat.T.astype(dtype)  # [in, out]
 
 
-def _kernel(l_ref, rh_ref, rw_ref, out_ref, u_ref, *, hs, ws, c, out_w,
-            th, out_dtype):
-    strip = pl.program_id(1)
-
-    @pl.when(strip == 0)
-    def _():
-        # W-upsample both halves of the pair once; the flipped half's
-        # matrix has reversed output columns (exact mirror fold).
-        for f in range(2):
-            lf = l_ref[0, f]  # [hs, C, ws]
-            u = jax.lax.dot_general(
-                lf.reshape(hs * c, ws), rw_ref[f],
+def _kernel(l_ref, rh_ref, rw_ref, out_ref, x_ref, *, hs, ws, c,
+            out_w, th, mid_dtype, out_dtype):
+    # All matmuls are plain 2D dots over class slices: Mosaic rejects
+    # reshapes that merge a padded sublane dim (e.g. [hs, C, ws] ->
+    # [hs*C, ws] with C=19), and per-class [th, hs] @ [hs, ws] then
+    # [th, ws] @ [ws, out_w] keeps every operand layout native. The
+    # per-class W-pass lands in a [C, th, out_w] scratch, which is
+    # ALREADY the output layout — softmax reduces over the major axis
+    # and no transpose is needed.
+    rh = rh_ref[...]  # [th, hs]
+    for f in range(2):
+        rw = rw_ref[f]
+        for ci in range(c):
+            t1 = jax.lax.dot_general(
+                rh, l_ref[0, f, ci],  # [th, hs] @ [hs, ws]
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [hs*C, out_w]
-            u_ref[f] = u.reshape(hs, c, out_w).astype(u_ref.dtype)
-
-    rh = rh_ref[...]  # [th, hs]
-    acc = None
-    for f in range(2):
-        t = jax.lax.dot_general(
-            rh, u_ref[f],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [th, C, out_w] f32
-        m = jnp.max(t, axis=1, keepdims=True)
+            ).astype(mid_dtype)
+            x_ref[ci] = jax.lax.dot_general(
+                t1, rw,  # [th, ws] @ [ws, out_w]
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        t = x_ref[...]  # [C, th, out_w] f32
+        m = jnp.max(t, axis=0, keepdims=True)
         e = jnp.exp(t - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        acc = p if acc is None else acc + p
-    probs = acc * 0.5
-    out_ref[0] = jnp.transpose(probs, (1, 0, 2)).astype(out_dtype)
+        p = (e / jnp.sum(e, axis=0, keepdims=True)) * 0.5
+        if f == 0:
+            out_ref[0] = p.astype(out_dtype)
+        else:
+            out_ref[0] += p.astype(out_dtype)
 
 
 def upsample_softmax_flip(logits_pairs, out_hw, interpret: bool = False):
@@ -122,55 +167,65 @@ def upsample_softmax_flip(logits_pairs, out_hw, interpret: bool = False):
     instantiated at several scales of one outer program (observed on
     jax 0.8 lowering the 6-scale ms program).
 
-    ``logits_pairs``: [P, 2, hs, C, ws] window-pair logits at feature
+    ``logits_pairs``: [P, 2, C, hs, ws] window-pair logits at feature
     resolution — half 0 the original window's forward, half 1 the
     horizontally-flipped window's forward (un-mirrored logits, exactly
     as the model emits them). Returns [P, C, out_h, out_w] averaged
     probabilities in the container dtype the stitch pipeline uses
     (bf16 for bf16 inputs — the evaluator's existing policy).
     """
-    p_n, two, hs, c, ws = logits_pairs.shape
+    p_n, two, c, hs, ws = logits_pairs.shape
     assert two == 2, logits_pairs.shape
     out_h, out_w = out_hw
-    th = _strip_rows(out_h)
-    assert th > 0, f"no strip factor for out_h={out_h}"
+    th = STRIP
+    out_h_pad = _padded_rows(out_h, th)
     dt = logits_pairs.dtype
     out_dtype = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+    # Between the two separable passes the bf16 path rounds to bf16
+    # (inside the license: the XLA path's resize rounds its result to
+    # bf16 before the softmax). f32 inputs stay f32 end-to-end — the
+    # interpret-mode tests pin exact f32 semantics.
+    mid_dtype = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
 
     rh = _align_corners_matrix(hs, out_h, dt).T  # [out_h, hs]
+    rh = jnp.pad(rh, ((0, out_h_pad - out_h), (0, 0)))
     rw = _align_corners_matrix(ws, out_w, dt)    # [ws, out_w]
     rw = jnp.stack([rw, rw[:, ::-1]])            # [2, ws, out_w]
 
-    grid = (p_n, out_h // th)
+    grid = (p_n, out_h_pad // th)
     kernel = functools.partial(
-        _kernel, hs=hs, ws=ws, c=c, out_w=out_w, th=th, out_dtype=out_dtype
+        _kernel, hs=hs, ws=ws, c=c, out_w=out_w, th=th,
+        mid_dtype=mid_dtype, out_dtype=out_dtype,
     )
-    flops = p_n * 2 * (hs * c * ws * out_w + th * hs * c * out_w * grid[1]) * 2
-    return pl.pallas_call(
+    flops = p_n * 2 * c * out_h_pad * (hs * ws + ws * out_w) * 2
+    padded = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, hs, c, ws), lambda i, s: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, c, hs, ws), lambda i, s: (i, 0, 0, 0, 0)),
             pl.BlockSpec((th, hs), lambda i, s: (s, 0)),
             pl.BlockSpec((2, ws, out_w), lambda i, s: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, c, th, out_w), lambda i, s: (i, 0, s, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((p_n, c, out_h, out_w), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (p_n, c, out_h_pad, out_w), out_dtype
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, hs, c, out_w), out_dtype),
+            pltpu.VMEM((c, th, out_w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=logits_pairs.size * dt.itemsize
-            + p_n * c * out_h * out_w * 2, transcendentals=p_n * c
-            * out_h * out_w * 2,
+            + p_n * c * out_h_pad * out_w * 2, transcendentals=p_n * c
+            * out_h_pad * out_w * 2,
         ),
         interpret=interpret,
     )(logits_pairs, rh, rw)
+    return padded[:, :, :out_h, :]
 
 
 def upsample_softmax_flip_reference(logits_pairs, out_hw):
@@ -180,10 +235,9 @@ def upsample_softmax_flip_reference(logits_pairs, out_hw):
     documentation of the exact semantics being fused."""
     from semseg_tpu.ops.resize import resize_bilinear_align_corners_cf
 
-    p_n, two, hs, c, ws = logits_pairs.shape
-    l = jnp.transpose(logits_pairs, (0, 1, 3, 2, 4))  # [P,2,C,hs,ws]
+    p_n, two, c, hs, ws = logits_pairs.shape
     up = resize_bilinear_align_corners_cf(
-        l.reshape(p_n * 2, c, hs, ws), out_hw
+        logits_pairs.reshape(p_n * 2, c, hs, ws), out_hw
     ).reshape(p_n, 2, c, *out_hw)
     probs = jax.nn.softmax(up.astype(jnp.float32), axis=2)
     if logits_pairs.dtype == jnp.bfloat16:

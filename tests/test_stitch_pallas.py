@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from semseg_tpu.ops.stitch_pallas import (
-    _strip_rows,
     supported,
     upsample_softmax_flip,
     upsample_softmax_flip_reference,
@@ -20,7 +19,7 @@ from semseg_tpu.ops.stitch_pallas import (
 
 
 def _pairs(rs, p, hs, c, ws, dtype):
-    x = rs.randn(p, 2, hs, c, ws).astype(np.float32) * 3.0
+    x = rs.randn(p, 2, c, hs, ws).astype(np.float32) * 3.0
     return jnp.asarray(x, dtype)
 
 
@@ -65,7 +64,7 @@ def test_flip_fold_is_exact_mirror():
     rs = np.random.RandomState(2)
     hs = ws = 9
     out = 65
-    base = rs.randn(1, hs, 6, ws).astype(np.float32)
+    base = rs.randn(1, 6, hs, ws).astype(np.float32)
     lp = jnp.asarray(
         np.stack([base, base[..., ::-1]], axis=1)
     )  # half 1 = mirrored logits, as a flipped input would produce
@@ -80,9 +79,7 @@ def test_flip_fold_is_exact_mirror():
     # undoes itself, so the average equals softmax(up(base)) alone
     from semseg_tpu.ops.resize import resize_bilinear_align_corners_cf
 
-    up = resize_bilinear_align_corners_cf(
-        jnp.asarray(base.transpose(0, 2, 1, 3)), (out, out)
-    )
+    up = resize_bilinear_align_corners_cf(jnp.asarray(base), (out, out))
     only = jax.nn.softmax(up.astype(jnp.float32), axis=1)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(only), rtol=1e-4, atol=1e-5
@@ -146,10 +143,18 @@ def test_evaluator_fused_matches_unfused(mode):
 
 
 def test_strip_rows_and_dispatch():
-    assert _strip_rows(713) == 31
-    assert _strip_rows(473) == 43
-    assert _strip_rows(465) == 31
-    assert _strip_rows(705) == 47
-    assert _strip_rows(97) == 97  # prime, small: single strip
-    assert supported(713, 713, jnp.bfloat16)
+    from semseg_tpu.ops.stitch_pallas import _padded_rows, vmem_bytes
+
+    # Mosaic block sublane constraint: strips are 32 rows, crops (8k+1,
+    # odd) pad up and the caller slices the pad off
+    assert _padded_rows(713) == 736
+    assert _padded_rows(473) == 480
+    assert _padded_rows(97) == 128
+    assert supported(713, 713, jnp.bfloat16, c=19)  # Cityscapes ms
+    assert supported(705, 705, jnp.bfloat16, c=19)  # Cityscapes PSA
     assert not supported(713, 713, jnp.float32)  # f32 keeps XLA path
+    # ADE's 150 classes blow the strip working set -> XLA path
+    assert not supported(473, 473, jnp.bfloat16, c=150)
+    # the VMEM model stays under the 12 MB dispatch budget for the
+    # shapes that dispatch (16 MB scoped limit minus stack headroom)
+    assert vmem_bytes(19, 90, 90, 713) < 12 * 2**20
