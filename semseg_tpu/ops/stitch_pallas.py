@@ -34,14 +34,18 @@ Two exactness-preserving rewrites make it fuseable:
   H-first needs NO persistent W-upsampled scratch, which is what kept
   the previous layout over the 16 MB scoped-VMEM budget.
 
-Grid: ``(pairs, row_strips)``, both sequential. All matmuls are
-per-class 2D dots (H-pass ``[th, hs] @ [hs, ws]``, W-pass
-``[th, ws] @ [ws, out_w]``) — Mosaic rejects reshapes merging padded
-sublane dims, and the per-class layout drops them and the final
-transpose (softmax lands directly in the [C, th, out_w] output block).
-The two flip halves share ONE [C, th, out_w] f32 scratch: half 0's
-softmax is written to the output block, half 1's is accumulated into
-it (read-modify-write on the same grid step).
+Grid: ``(pairs, row_strips)``, both sequential. Each strip-flip is TWO
+big dots — H-pass ``[th, hs] @ [hs, C*wsp]`` over all classes at once
+(the caller pre-flattens the logits with ws zero-padded to the 128-lane
+boundary wsp, so no in-kernel reshape merges a padded sublane dim,
+which Mosaic rejects), then a rank-3 W-pass
+``[C, th, wsp] @ [wsp, out_w]`` landing directly in the [C, th, out_w]
+output layout. The first cut of this kernel used 2·C per-class 2D dots
+instead; its per-op overhead ate the fusion win (on-chip A/B: 29 ms/img
+saved of the 219 ms leg). The two flip halves share ONE
+[C, th, out_w] f32 scratch: half 0's softmax is written to the output
+block, half 1's is accumulated into it (read-modify-write on the same
+grid step).
 """
 
 from __future__ import annotations
@@ -79,17 +83,21 @@ def vmem_bytes(c: int, hs: int, ws: int, out_w: int, th: int = STRIP) -> int:
     for the softmax temporaries (Mosaic counts those against the same
     budget: the round-4 OOM was 'allocating on stack')."""
     lane = lambda n: _ceil_to(n, 128)
+    wsp = lane(ws)
     b = 0
-    # input logits block (1, 2, c, hs, ws) bf16, double-buffered
-    b += 2 * 2 * c * _ceil_to(hs, 16) * lane(ws) * 2
+    # input logits block (1, 2, hs, c*wsp) bf16, double-buffered
+    b += 2 * 2 * _ceil_to(hs, 16) * c * wsp * 2
     # rh strip (th, hs) f32, double-buffered
     b += 2 * th * lane(hs) * 4
-    # rw (2, ws, out_w) bf16, double-buffered
-    b += 2 * 2 * _ceil_to(ws, 16) * lane(out_w) * 2
+    # rw (2, wsp, out_w) bf16, double-buffered
+    b += 2 * 2 * wsp * lane(out_w) * 2
     # output block (1, c, th, out_w) bf16, double-buffered
     b += 2 * c * th * lane(out_w) * 2
     # f32 softmax scratch (c, th, out_w), single copy shared by both halves
     b += c * th * lane(out_w) * 4
+    # H-pass intermediates: t1 [th, c*wsp] f32 + its mid-dtype round +
+    # the swapped [c, th, wsp] copy (stack allocations, same budget)
+    b += th * c * wsp * (4 + 2 + 2)
     return b
 
 
@@ -126,28 +134,33 @@ def _align_corners_matrix(in_size: int, out_size: int, dtype):
 
 
 def _kernel(l_ref, rh_ref, rw_ref, out_ref, x_ref, *, hs, ws, c,
-            out_w, th, mid_dtype, out_dtype):
-    # All matmuls are plain 2D dots over class slices: Mosaic rejects
-    # reshapes that merge a padded sublane dim (e.g. [hs, C, ws] ->
-    # [hs*C, ws] with C=19), and per-class [th, hs] @ [hs, ws] then
-    # [th, ws] @ [ws, out_w] keeps every operand layout native. The
-    # per-class W-pass lands in a [C, th, out_w] scratch, which is
-    # ALREADY the output layout — softmax reduces over the major axis
-    # and no transpose is needed.
+            out_w, th, wsp, mid_dtype, out_dtype):
+    # Two BIG matmuls per strip-flip instead of 2*C small ones. Mosaic
+    # rejects reshapes that merge padded sublane dims, so the logits
+    # arrive pre-flattened by the caller as [hs, C*wsp] (ws zero-padded
+    # to the 128-lane boundary wsp in plain XLA, where the reshape is
+    # free): the H-pass is ONE [th, hs] @ [hs, C*wsp] dot for all
+    # classes, the lane dim then splits at the 128-aligned class
+    # boundary (layout-preserving) and a minor-dim-preserving swap
+    # yields [C, th, wsp], and the W-pass is ONE rank-3
+    # [C, th, wsp] @ [wsp, out_w] dot landing directly in the
+    # [C, th, out_w] output layout — softmax reduces over the major
+    # axis, no transpose of anything at crop resolution. The zero pad
+    # is exact: padded lanes of t1 are rh @ 0 = 0 and the matching rw
+    # rows are 0.
     rh = rh_ref[...]  # [th, hs]
     for f in range(2):
-        rw = rw_ref[f]
-        for ci in range(c):
-            t1 = jax.lax.dot_general(
-                rh, l_ref[0, f, ci],  # [th, hs] @ [hs, ws]
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(mid_dtype)
-            x_ref[ci] = jax.lax.dot_general(
-                t1, rw,  # [th, ws] @ [ws, out_w]
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        t1 = jax.lax.dot_general(
+            rh, l_ref[0, f],  # [th, hs] @ [hs, C*wsp]
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(mid_dtype)
+        t3 = jnp.swapaxes(t1.reshape(th, c, wsp), 0, 1)  # [C, th, wsp]
+        x_ref[...] = jax.lax.dot_general(
+            t3, rw_ref[f],  # [C, th, wsp] @ [wsp, out_w]
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         t = x_ref[...]  # [C, th, out_w] f32
         m = jnp.max(t, axis=0, keepdims=True)
         e = jnp.exp(t - m)
@@ -189,22 +202,30 @@ def upsample_softmax_flip(logits_pairs, out_hw, interpret: bool = False):
 
     rh = _align_corners_matrix(hs, out_h, dt).T  # [out_h, hs]
     rh = jnp.pad(rh, ((0, out_h_pad - out_h), (0, 0)))
+    wsp = _ceil_to(ws, 128)
     rw = _align_corners_matrix(ws, out_w, dt)    # [ws, out_w]
     rw = jnp.stack([rw, rw[:, ::-1]])            # [2, ws, out_w]
+    rw = jnp.pad(rw, ((0, 0), (0, wsp - ws), (0, 0)))
+    # Pre-flatten the logits to [P, 2, hs, C*wsp] in plain XLA (free
+    # reshape; zero lane pad matches rw's zero rows exactly) so the
+    # kernel's H-pass covers every class in one dot.
+    lp = jnp.swapaxes(logits_pairs, 2, 3)        # [P, 2, hs, C, ws]
+    lp = jnp.pad(lp, ((0, 0),) * 3 + ((0, 0), (0, wsp - ws)))
+    lp = lp.reshape(p_n, 2, hs, c * wsp)
 
     grid = (p_n, out_h_pad // th)
     kernel = functools.partial(
-        _kernel, hs=hs, ws=ws, c=c, out_w=out_w, th=th,
+        _kernel, hs=hs, ws=ws, c=c, out_w=out_w, th=th, wsp=wsp,
         mid_dtype=mid_dtype, out_dtype=out_dtype,
     )
-    flops = p_n * 2 * c * out_h_pad * (hs * ws + ws * out_w) * 2
+    flops = p_n * 2 * c * out_h_pad * (hs * wsp + wsp * out_w) * 2
     padded = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, c, hs, ws), lambda i, s: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, hs, c * wsp), lambda i, s: (i, 0, 0, 0)),
             pl.BlockSpec((th, hs), lambda i, s: (s, 0)),
-            pl.BlockSpec((2, ws, out_w), lambda i, s: (0, 0, 0)),
+            pl.BlockSpec((2, wsp, out_w), lambda i, s: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, c, th, out_w), lambda i, s: (i, 0, s, 0)
@@ -224,7 +245,7 @@ def upsample_softmax_flip(logits_pairs, out_hw, interpret: bool = False):
             * out_h_pad * out_w * 2,
         ),
         interpret=interpret,
-    )(logits_pairs, rh, rw)
+    )(lp, rh, rw)
     return padded[:, :, :out_h, :]
 
 
