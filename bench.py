@@ -50,7 +50,7 @@ def main():
         classes=19, crop_h=crop, crop_w=crop, mean=mean, std=std,
         base_size=2048, scales=scales,
         # 16 = the full window grid (8 crops x flip) in ONE forward.
-        window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "16")),
+        window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "8")),
         mode=os.environ.get("BENCH_PIPELINE", "device"),
     )
 

@@ -352,18 +352,18 @@ class SlidingWindowEvaluator:
             count_cols[s_w : s_w + crop_w] += 1.0
 
         # Chunk windows; flip doubles the model batch. The chunk size is
-        # chosen per scale to minimize padded slots (then maximize batch):
-        # the fixed-wb grid wasted ~16% of all window forwards as padding
-        # across the 6-scale Cityscapes protocol (81 windows -> 96 slots),
-        # and ms eval is window-forward-bound.
+        # FIXED at the configured window_batch (padding the last chunk)
+        # rather than shrunk per scale to minimize padded slots: the
+        # per-window forward rate is strongly batch-dependent (measured
+        # on-chip, PSPNet50 @713^2 bf16: batch 4/8/12/16 -> 122/191/128/
+        # 169 windows/s — the 8-sublane-aligned batches win), so padded
+        # slots at the fast batch beat fewer slots at a slow one. The
+        # round-4 slot-minimizing search assumed batch-independent cost;
+        # the ladder showed its mixed batch-4..12 chunks ran the window
+        # path ~15% below the batch-aligned rate.
         wb_max = max(1, self.window_batch // (2 if self.flip else 1))
         n_win = len(coords)
         wb = min(wb_max, n_win)
-        best_slots = -(-n_win // wb) * wb
-        for cand in range(1, wb_max + 1):
-            slots = -(-n_win // cand) * cand
-            if slots < best_slots or (slots == best_slots and cand > wb):
-                best_slots, wb = slots, cand
         n_pad = (-n_win) % wb
         coords_arr = np.asarray(
             coords + [(0, 0)] * n_pad, dtype=np.int32
@@ -441,6 +441,15 @@ class SlidingWindowEvaluator:
                 acc, (0, pad_h_half, pad_w_half),
                 (self.classes, new_h, new_w),
             )
+            # On the bf16 path carry the count-divided probs back to bf16
+            # for the final resize: the windows' probs were already
+            # bf16-rounded containers, so this stays inside the same
+            # numeric license, and a bf16 source takes the single-pass
+            # MXU resize instead of f32's 6-pass 'highest' decomposition
+            # (the attribution ladder's final-resize leg). f32 models
+            # keep exact f32 end to end.
+            if getattr(self.model, "dtype", None) == jnp.bfloat16:
+                acc = acc.astype(jnp.bfloat16)
             probs = resize_bilinear_half_pixel_cf(acc, (h, w))
             if emit_argmax:
                 # Single-scale fast path: the uint8 class map comes out of

@@ -20,8 +20,15 @@ by timing ablated variants of the same program, outermost leg first:
   fwd_probs        window extraction + full per-window forward
                    (align-corners logit resize + f32 softmax + flip
                    average) with the stitch scatter removed
-  fwd_logits       window extraction + raw model logits only (also drops
-                   the per-window 90^2 -> 713^2 logit upsample + softmax)
+  fwd_probs_fused  same, but through the production fused Pallas window
+                   path (ops/stitch_pallas.py) instead of the XLA leg
+  fwd_logits       window extraction + raw model logits only (drops the
+                   transpose + f32 softmax + flip average; the model's
+                   own zoom upsample stays INSIDE this variant — the
+                   round-4 ladder prose mis-read the fwd_probs delta as
+                   "upsample+softmax" when the upsample was never ablated)
+  extract_only     per-scale image resize + canvas + window gather with
+                   the forward removed (pins the extraction/prep leg)
   peak_windows     one standalone [B, 713, 713, 3] forward chained
                    back-to-back — the window-throughput ceiling this
                    model sustains, independent of the eval pipeline
@@ -35,7 +42,8 @@ stage (same grids, same padding-free chunking); the ``pipelined`` /
 ``resident`` rows run the evaluator's own production program.
 
 Usage: python tool/ms_attrib.py [variant ...]   (default: all)
-Env: MS_LAYERS (50), MS_ITERS (6), MS_WINDOW_BATCH (16).
+Env: MS_LAYERS (50), MS_ITERS (6), MS_WINDOW_BATCH (8 — the measured
+     batch-rate sweet spot; see _chunk).
 """
 
 import json
@@ -71,14 +79,11 @@ def _emit(name, **kv):
 
 
 def _chunk(coords, wb_max):
-    """The evaluator's padding-minimizing chunk selection (same logic)."""
+    """The evaluator's chunk selection (same logic): fixed batch-aligned
+    chunks, padding the last one — the per-window forward rate is
+    strongly batch-dependent (see _build_scale_raw)."""
     n_win = len(coords)
     wb = min(wb_max, n_win)
-    best_slots = -(-n_win // wb) * wb
-    for cand in range(1, wb_max + 1):
-        slots = -(-n_win // cand) * cand
-        if slots < best_slots or (slots == best_slots and cand > wb):
-            best_slots, wb = slots, cand
     n_pad = (-n_win) % wb
     coords_arr = np.asarray(
         coords + [(0, 0)] * n_pad, dtype=np.int32
@@ -139,16 +144,25 @@ def build_variant_ms(ev, h, w, stage):
                     jnp.concatenate([wins, wins[:, :, ::-1]], axis=0)
                     if flip else wins
                 )
+                if stage == "extract_only":
+                    # image prep + window gather only (no forward): pins
+                    # the per-scale resize/canvas/dynamic_slice leg.
+                    return batch
                 if stage == "fwd_logits":
                     return ev.model.apply(
                         ev.variables, ev._normalize(batch), train=False
                     ).astype(jnp.float32)
+                if stage == "fwd_probs_fused":
+                    # the production fused window path (Pallas kernel)
+                    # inside the same scan/extraction structure.
+                    return ev._forward_fused_pairs(variables, batch, wb)
                 probs = ev._forward_cf(variables, batch)  # [B, C, ch, cw]
                 if flip:
                     probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
                 return probs
 
-            if stage in ("fwd_logits", "fwd_probs"):
+            if stage in ("extract_only", "fwd_logits", "fwd_probs",
+                         "fwd_probs_fused"):
                 def body(acc, xs):
                     cs, _ = xs
                     return acc + jnp.sum(fwd_chunk(cs)), None
@@ -192,7 +206,8 @@ def build_variant_ms(ev, h, w, stage):
         scale_fns.append(scale_fn)
 
     def ms_fn(variables, image):
-        if stage in ("fwd_logits", "fwd_probs", "no_final_resize"):
+        if stage in ("extract_only", "fwd_logits", "fwd_probs",
+                     "fwd_probs_fused", "no_final_resize"):
             return sum(fn(variables, image) for fn in scale_fns)
         total = None
         for fn in scale_fns:
@@ -218,11 +233,12 @@ def _time_chained(fn, args, iters):
 def main():
     which = sys.argv[1:] or [
         "pipelined", "resident", "resident_scalar", "no_final_resize",
-        "fwd_probs", "fwd_logits", "peak_windows",
+        "fwd_probs", "fwd_probs_fused", "fwd_logits", "extract_only",
+        "peak_windows",
     ]
     layers = int(os.environ.get("MS_LAYERS", "50"))
     iters = int(os.environ.get("MS_ITERS", "6"))
-    wbatch = int(os.environ.get("MS_WINDOW_BATCH", "16"))
+    wbatch = int(os.environ.get("MS_WINDOW_BATCH", "8"))
 
     model = PSPNet(layers=layers, classes=19, zoom_factor=8,
                    dtype=jnp.bfloat16)

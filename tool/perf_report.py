@@ -442,7 +442,7 @@ def section_eval_ms():
     evaluator = SlidingWindowEvaluator(
         model, variables, classes=19, crop_h=713, crop_w=713,
         mean=mean, std=std, base_size=2048, scales=scales,
-        window_batch=int(os.environ.get("PERF_WINDOW_BATCH", "16")),
+        window_batch=int(os.environ.get("PERF_WINDOW_BATCH", "8")),
         mode="device",
     )
     t0 = time.perf_counter()
@@ -515,7 +515,7 @@ def section_eval_psa():
     evaluator = SlidingWindowEvaluator(
         model, variables, classes=19, crop_h=705, crop_w=705,
         mean=mean, std=std, base_size=2048, scales=[1.0],
-        window_batch=int(os.environ.get("PERF_WINDOW_BATCH", "16")),
+        window_batch=int(os.environ.get("PERF_WINDOW_BATCH", "8")),
         mode="device",
     )
     t0 = time.perf_counter()

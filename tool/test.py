@@ -134,7 +134,7 @@ def run(cfg):
             model, variables,
             classes=cfg.classes, crop_h=cfg.test_h, crop_w=cfg.test_w,
             mean=mean, std=std, base_size=cfg.base_size, scales=cfg.scales,
-            window_batch=cfg.get("window_batch") or 16,
+            window_batch=cfg.get("window_batch") or 8,
             mode=mode,
             bucket=cfg.get("eval_bucket") or 128,
             mesh=eval_mesh,
