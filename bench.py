@@ -49,7 +49,9 @@ def main():
         model, variables,
         classes=19, crop_h=crop, crop_w=crop, mean=mean, std=std,
         base_size=2048, scales=scales,
-        # 16 = the full window grid (8 crops x flip) in ONE forward.
+        # 8 = the measured batch-rate sweet spot (191 windows/s vs 169
+        # at 16, see PERF_RECORD r05 sweep): the 8-crop x flip grid runs
+        # as two batch-8 chunks.
         window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "8")),
         mode=os.environ.get("BENCH_PIPELINE", "device"),
     )
