@@ -323,15 +323,22 @@ def merge_halves():
         })
 
 
-def adjudicate_sigma(arch_sigma: str = "psp", seed_sigma: int = 4):
+def adjudicate_sigma(arch_sigma: str = "psp", seed_sigma: int = 4,
+                     judge_archs=("psp", "psa")):
     """Round-5 governing verdict: measure the within-arm noise of the
     (arch_sigma, seed_sigma) arm from its replica set — the ORIGINAL
     run plus every within_arm_replica line — and re-judge EVERY per-seed
-    pair (both archs, carried and new) under the pre-registered rule
+    pair (``judge_archs``, carried and new) under the pre-registered rule
       fail iff torch_final - ours_final > max(0.01, 2 * sigma_gap)
     where sigma_gap is the std of the per-replica (torch - ours) gap:
     the two arms of a replica share one batch-index stream, so the gap
-    std directly measures the noise of the quantity being judged."""
+    std directly measures the noise of the quantity being judged.
+
+    The first r05 adjudication used the PSP seed-4 set for BOTH archs
+    (the only measured sigma at the time). A later PSA-own replica set
+    (seed 5, the worst PSA gap) re-judges the PSA seeds against the
+    noise of the arch actually being judged — strictly more evidence,
+    zero post-hoc edits to the earlier lines."""
     recs = _read_record()
     reps = [r for r in recs
             if r.get("metric") in ("cross_framework_val_mIoU_gap",
@@ -355,7 +362,7 @@ def adjudicate_sigma(arch_sigma: str = "psp", seed_sigma: int = 4):
         "sigma_gap_points": round(sigma_gap * 100, 2),
     })
     threshold = max(0.01, 2 * sigma_gap)
-    for arch in ("psp", "psa"):
+    for arch in judge_archs:
         pairs = [r for r in recs
                  if r.get("metric") == "cross_framework_val_mIoU_gap"
                  and r.get("arch", "psp") == arch]
@@ -496,6 +503,10 @@ def main():
     ap.add_argument("--band", action="store_true")
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--sigma", action="store_true")
+    ap.add_argument("--sigma-seed", type=int, default=None,
+                    help="with --sigma: use the (--arch, this seed) "
+                         "replica set and re-judge only that arch "
+                         "(default: the psp seed-4 set, both archs)")
     ap.add_argument("--seedstats", action="store_true")
     ns = ap.parse_args()
     arch, steps, seed, replica = ns.arch, ns.steps, ns.seed, ns.replica
@@ -506,7 +517,10 @@ def main():
         merge_halves()
         return
     if ns.sigma:
-        adjudicate_sigma()
+        if ns.sigma_seed is not None:
+            adjudicate_sigma(arch, ns.sigma_seed, judge_archs=(arch,))
+        else:
+            adjudicate_sigma()
         return
     if ns.seedstats:
         seed_stats()
