@@ -185,6 +185,12 @@ class SlidingWindowEvaluator:
                 and mesh is None
             )
         self.fused_stitch = bool(fused_stitch)
+        if self.fused_stitch and not flip:
+            # the kernel averages (window, flipped-window) pairs; without
+            # flip TTA the pair batch is malformed — fail at construction
+            # with the real constraint, not a traced shape error later
+            raise ValueError("fused_stitch=True requires flip=True "
+                             "(the kernel fuses the flip average)")
         self._model_lowres = None
         if self.fused_stitch:
             # Same params, logits emitted at feature resolution: the
@@ -196,11 +202,16 @@ class SlidingWindowEvaluator:
         # Cross-scale combiners run as ONE program each: summing K
         # [H,W,C] prob maps op-by-op would dispatch K separate HBM
         # round-trips (and a relay RTT per op when remote).
-        self._combine_mean = jax.jit(
-            lambda ps: sum(ps[1:], ps[0]) / len(ps)
-        )
+        # cross-scale sums accumulate in f32 even when the per-scale maps
+        # are bf16-rounded (the final-resize bf16 license covers each
+        # scale's own container, not compounding across the 6-scale sum)
+        def _sum_f32(ps):
+            ps = [p.astype(jnp.float32) for p in ps]
+            return sum(ps[1:], ps[0])
+
+        self._combine_mean = jax.jit(lambda ps: _sum_f32(ps) / len(ps))
         self._combine_argmax = jax.jit(
-            lambda ps: jnp.argmax(sum(ps[1:], ps[0]), axis=-1).astype(jnp.uint8)
+            lambda ps: jnp.argmax(_sum_f32(ps), axis=-1).astype(jnp.uint8)
         )
         self._bucketed = None
         if mode == "device_bucketed":
@@ -309,7 +320,10 @@ class SlidingWindowEvaluator:
         def ms_fn(variables, image):
             total = None
             for fn in raw_fns:
-                probs = fn(variables, image)  # [C, h, w]
+                # bf16-path scale programs return bf16-rounded probs (the
+                # final-resize license); the CROSS-SCALE sum stays f32 so
+                # accumulating 6 scales adds no further rounding
+                probs = fn(variables, image).astype(jnp.float32)  # [C,h,w]
                 total = probs if total is None else total + probs
             return jnp.argmax(total, axis=0).astype(jnp.uint8)
 

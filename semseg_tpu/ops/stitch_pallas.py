@@ -57,7 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from semseg_tpu.ops.resize import _interp_vectors
+from semseg_tpu.ops.resize import _device_matrix
 
 
 STRIP = 32  # Mosaic: a block's sublane dim must be divisible by 8
@@ -120,16 +120,11 @@ def supported(out_h, out_w, dtype, c=19, feat_h=None, feat_w=None) -> bool:
 
 def _align_corners_matrix(in_size: int, out_size: int, dtype):
     """[in, out] interp matrix (transposed layout: source-major so the
-    W-pass contracts the minor axis). Same weights as
-    ``ops/resize._device_matrix`` (align-corners grid)."""
-    lo, hi, frac = _interp_vectors(in_size, out_size, half_pixel=False)
-    fr = jnp.asarray(frac, jnp.float32)
-    mat = (
-        jax.nn.one_hot(jnp.asarray(lo), in_size, dtype=jnp.float32)
-        * (1.0 - fr)[:, None]
-        + jax.nn.one_hot(jnp.asarray(hi), in_size, dtype=jnp.float32)
-        * fr[:, None]
-    )  # [out, in]
+    W-pass contracts the minor axis). THE ``ops/resize._device_matrix``
+    align-corners weights — assembled f32 then rounded once, so the
+    grid golden tests pin this kernel's weights too."""
+    mat = _device_matrix(in_size, out_size, half_pixel=False,
+                         dtype=jnp.float32)  # [out, in]
     return mat.T.astype(dtype)  # [in, out]
 
 

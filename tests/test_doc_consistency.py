@@ -22,41 +22,46 @@ TOL = 0.006  # quoted numbers are rounded to <= 2 decimals
 
 
 def _artifact_numbers(rec):
-    """All numbers a capture licenses for quotation (rounded forms)."""
-    vals = set()
+    """Numbers a capture licenses for quotation (rounded forms), split
+    into throughput values (``rate``: the capture value + its windows)
+    and everything else (``other``: link probes, spreads, counts) — an
+    img/s quote must NOT be licensed by a link-MB/s coincidence."""
+    rate, other = set(), set()
 
-    def add(v):
-        vals.add(round(float(v), 2))
-        vals.add(round(float(v), 1))
+    def add(pool, v):
+        pool.add(round(float(v), 2))
+        pool.add(round(float(v), 1))
 
     if "parsed" in rec:
         rec = rec["parsed"]
-    for key in ("value", "vs_baseline", "window_spread",
+    if "value" in rec:
+        add(rate, rec["value"])
+    for key in ("vs_baseline", "window_spread",
                 "healthy_window_spread", "link_MB_per_s", "n_healthy"):
         if key in rec:
-            add(rec[key])
+            add(other, rec[key])
             if key.endswith("spread"):
-                add(rec[key] * 100)  # quoted as percent
+                add(other, rec[key] * 100)  # quoted as percent
     windows = rec.get("windows", [])
     for w in windows:
-        add(w)
+        add(rate, w)
     for li in rec.get("window_links_MB_per_s", []):
-        add(li)
+        add(other, li)
     healthy = rec.get("window_healthy")
     if windows:
-        add(min(windows)), add(max(windows))
+        add(rate, min(windows)), add(rate, max(windows))
         if healthy:
             hs = [w for w, h in zip(windows, healthy) if h]
             ds = [w for w, h in zip(windows, healthy) if not h]
             for sub in (hs, ds):
                 if sub:
-                    add(min(sub)), add(max(sub))
+                    add(rate, min(sub)), add(rate, max(sub))
             ls = rec.get("window_links_MB_per_s")
             if ls:
                 dl = [li for li, h in zip(ls, healthy) if not h]
                 if dl:
-                    add(min(dl)), add(max(dl))
-    return vals
+                    add(other, min(dl)), add(other, max(dl))
+    return rate, other
 
 
 def _load_artifacts():
@@ -67,13 +72,21 @@ def _load_artifacts():
     return arts
 
 
-def _ledger_numbers():
+def _ledger_numbers(rates_only=False):
     vals = set()
     with open(os.path.join(ROOT, "PERF_RECORD.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
+            if rates_only and "img/s" not in rec.get("unit", ""):
+                continue
             vals.add(round(float(rec["value"]), 2))
             vals.add(round(float(rec["value"]), 1))
+            if not rates_only:
+                continue
+            # a ledger capture's per-window rates are quotable too
+            for w in rec.get("windows", []):
+                vals.add(round(float(w), 2))
+                vals.add(round(float(w), 1))
     return vals
 
 
@@ -98,10 +111,10 @@ SECTIONS = [
 ]
 
 
-def _licensed():
-    vals = _ledger_numbers()
-    for nums in _load_artifacts().values():
-        vals |= nums
+def _licensed_rates():
+    vals = _ledger_numbers(rates_only=True)
+    for rate, _other in _load_artifacts().values():
+        vals |= rate
     return vals
 
 
@@ -111,7 +124,7 @@ def _ok(x, licensed):
 
 @pytest.mark.parametrize("path,heading", SECTIONS)
 def test_quoted_img_per_s_numbers_are_recorded(path, heading):
-    licensed = _licensed()
+    licensed = _licensed_rates()
     bad = []
     for line in _section(path, heading):
         for m in re.finditer(r"(\d+(?:\.\d+)?)(?:\s|&nbsp;)?img/s", line):
@@ -145,7 +158,8 @@ def test_artifact_citing_ranges_match_cited_artifact():
                 continue
             licensed = set(ledger)
             for art in cited:
-                licensed |= arts[art]
+                rate, other = arts[art]
+                licensed |= rate | other
             for m in re.finditer(r"(\d+\.\d+)[–-](\d+\.\d+)", line):
                 for g in m.groups():
                     if not _ok(float(g), licensed):

@@ -344,6 +344,18 @@ def adjudicate_sigma(arch_sigma: str = "psp", seed_sigma: int = 4,
             if r.get("metric") in ("cross_framework_val_mIoU_gap",
                                    "within_arm_replica")
             and r["arch"] == arch_sigma and r.get("seed") == seed_sigma]
+    # one sigma estimate = one horizon: replicas from a different steps
+    # count are a different experiment (and the judged pairs below ARE
+    # horizon-filtered), so pooling them would silently inflate sigma
+    horizon = max(r["steps"] for r in reps) if reps else 0
+    reps = [r for r in reps if r["steps"] == horizon]
+    if len(reps) < 3:
+        # std(ddof=1) of <2 points is NaN and max(0.01, 2*nan) silently
+        # collapses to the bare 1pt rule while the recorded rule string
+        # would still claim a measured sigma — refuse instead
+        raise SystemExit(
+            f"--sigma needs >=3 recorded ({arch_sigma}, seed {seed_sigma}) "
+            f"replicas at one horizon; found {len(reps)}")
     torch_f = np.array([r["torch_reference_final"] for r in reps])
     ours_f = np.array([r["ours_f32_final"] for r in reps])
     gaps = torch_f - ours_f

@@ -276,6 +276,11 @@ def main():
     )
 
     for name in which:
+        if name == "fwd_probs_fused" and ev._model_lowres is None:
+            # fused path disabled (MS_FUSED=0, f32 model, or a non-TPU
+            # backend): the variant would dereference a None lowres model
+            _emit(name, skipped="fused_stitch disabled")
+            continue
         if name == "pipelined":
             ev.predict(image)  # compile
             np.asarray(ev.predict_async(image))  # settle

@@ -75,6 +75,36 @@ def _make_link_probe(nbytes=6 << 20):
     return probe
 
 
+def _windowed_capture(run_window):
+    """The bench.py weather-proofed capture, shared by every eval
+    section: time ``run_window()`` (returns an img/s rate) N times,
+    probe the link after each window, and score only link-healthy
+    windows so a degraded-relay period cannot poison the record
+    (round-4's bucketed re-capture hit a ~5 MB/s stall and was
+    unusable). If the whole capture ran under bad weather (<2 healthy
+    windows), all windows are scored — and n_healthy=0 tags the
+    emission as weather-degraded. Returns (provenance fields for
+    _emit, scored rates)."""
+    probe = _make_link_probe()
+    link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
+    n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
+    rates, links = [], []
+    for _ in range(n_windows):
+        rates.append(run_window())
+        links.append(probe())
+    healthy = [li >= link_floor for li in links]
+    scored = [r for r, h in zip(rates, healthy) if h]
+    if len(scored) < 2:
+        scored = rates
+    return {
+        "windows": rates,
+        "window_links_MB_per_s": links,
+        "window_healthy": healthy,
+        "n_healthy": sum(healthy),
+        "link_MB_per_s": round(float(np.median(links)), 1),
+    }, scored
+
+
 def _train_step_rate(arch, layers, classes, crop, batch, dtype_name,
                      steps=16, **model_kw):
     import jax
@@ -357,42 +387,29 @@ def section_eval():
         for img in images:  # warm-up / compile all buckets
             evaluator.predict(img)
         compile_s = time.perf_counter() - t0
-        # Windowed capture with per-window link probes (the bench.py
-        # method): each window is `reps` passes over the image set; the
-        # reported number is the median of link-healthy windows, so a
-        # degraded-relay period cannot poison the record (round-4's
-        # bucketed re-capture hit a ~5 MB/s stall and was unusable).
-        probe = _make_link_probe()
-        link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
-        n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
+        # Each capture window is `reps` passes over the image set.
         reps = 2
         bytes0 = evaluator._bucketed.bytes_uploaded
-        rates, links = [], []
-        for _ in range(n_windows):
+
+        def run_window():
             start = time.perf_counter()
             pending = []
             for _ in range(reps):
                 for img in images:
                     pending.append(evaluator.predict_async(img))
             results = [np.asarray(p) for p in pending]
-            rates.append(round(len(results) / (time.perf_counter() - start), 2))
-            links.append(probe())
+            return round(len(results) / (time.perf_counter() - start), 2)
+
+        provenance, scored = _windowed_capture(run_window)
+        n_windows = len(provenance["windows"])
         upload_kb = round(
             (evaluator._bucketed.bytes_uploaded - bytes0)
             / (n_windows * reps * len(images)) / 1e3, 1)
-        healthy = [li >= link_floor for li in links]
-        scored = [r for r, h in zip(rates, healthy) if h]
-        if len(scored) < 2:  # whole capture under bad weather: report all
-            scored = rates
         _emit(
             "eval_ss_ade20k_shapes_pspnet50_bucketed",
             bucket=bucket,
             images_per_sec_chip=round(float(np.median(scored)), 2),
-            windows=rates,
-            window_links_MB_per_s=links,
-            window_healthy=healthy,
-            n_healthy=sum(healthy),
-            link_MB_per_s=round(float(np.median(links)), 1),
+            **provenance,
             programs=len(evaluator._bucketed._programs),
             shapes=len(set(shapes)),
             warmup_s=round(compile_s, 1),
@@ -450,30 +467,20 @@ def section_eval_ms():
     compile_s = time.perf_counter() - t0
     np.asarray(evaluator.predict_async(image))  # settle the link
     n_iters = int(os.environ.get("PERF_MS_ITERS", "3"))
-    n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
-    probe = _make_link_probe()
-    link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
-    rates, links = [], []
-    for _ in range(n_windows):
+
+    def run_window():
         start = time.perf_counter()
         pending = [evaluator.predict_async(image) for _ in range(n_iters)]
         results = [np.asarray(p) for p in pending]
-        rates.append(round(n_iters / (time.perf_counter() - start), 3))
-        links.append(probe())
         assert all(r.shape == (1024, 2048) for r in results)
-    healthy = [li >= link_floor for li in links]
-    scored = [r for r, h in zip(rates, healthy) if h]
-    if len(scored) < 2:
-        scored = rates
+        return round(n_iters / (time.perf_counter() - start), 3)
+
+    provenance, scored = _windowed_capture(run_window)
     _emit(
         f"eval_ms{len(scales)}_cityscapes_pspnet{layers}",
         scales=len(scales),
         images_per_sec_chip=round(float(np.median(scored)), 3),
-        windows=rates,
-        window_links_MB_per_s=links,
-        window_healthy=healthy,
-        n_healthy=sum(healthy),
-        link_MB_per_s=round(float(np.median(links)), 1),
+        **provenance,
         fused_stitch=evaluator.fused_stitch,
         warmup_s=round(compile_s, 1),
     )
@@ -523,29 +530,19 @@ def section_eval_psa():
     compile_s = time.perf_counter() - t0
     np.asarray(evaluator.predict_async(image))
     n_iters = int(os.environ.get("PERF_MS_ITERS", "6"))
-    n_windows = int(os.environ.get("PERF_EVAL_WINDOWS", "5"))
-    probe = _make_link_probe()
-    link_floor = float(os.environ.get("PERF_LINK_FLOOR_MB_S", "40"))
-    rates, links = [], []
-    for _ in range(n_windows):
+
+    def run_window():
         start = time.perf_counter()
         pending = [evaluator.predict_async(image) for _ in range(n_iters)]
         results = [np.asarray(p) for p in pending]
-        rates.append(round(n_iters / (time.perf_counter() - start), 3))
-        links.append(probe())
         assert all(r.shape == (1024, 2048) for r in results)
-    healthy = [li >= link_floor for li in links]
-    scored = [r for r, h in zip(rates, healthy) if h]
-    if len(scored) < 2:
-        scored = rates
+        return round(n_iters / (time.perf_counter() - start), 3)
+
+    provenance, scored = _windowed_capture(run_window)
     _emit(
         "eval_ss_cityscapes_psanet50_705",
         images_per_sec_chip=round(float(np.median(scored)), 3),
-        windows=rates,
-        window_links_MB_per_s=links,
-        window_healthy=healthy,
-        n_healthy=sum(healthy),
-        link_MB_per_s=round(float(np.median(links)), 1),
+        **provenance,
         fused_stitch=evaluator.fused_stitch,
         warmup_s=round(compile_s, 1),
     )
