@@ -109,6 +109,7 @@ class SlidingWindowEvaluator:
         mesh=None,
         partition: str = "window",
         fused_stitch: Optional[bool] = None,
+        pooled_ms: Optional[bool] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — run the jitted scale
         programs SPMD over multiple chips (single-process multi-chip eval;
@@ -191,6 +192,13 @@ class SlidingWindowEvaluator:
             # with the real constraint, not a traced shape error later
             raise ValueError("fused_stitch=True requires flip=True "
                              "(the kernel fuses the flip average)")
+        # Pooled cross-scale window stream for the fused ms program (see
+        # _build_ms_pooled_raw). ``None`` = auto: on whenever the program
+        # is single-device (the GSPMD eval path keeps per-scale scans so
+        # the window batch shards cleanly over the mesh).
+        if pooled_ms is None:
+            pooled_ms = mesh is None
+        self.pooled_ms = bool(pooled_ms) and mesh is None
         self._model_lowres = None
         if self.fused_stitch:
             # Same params, logits emitted at feature resolution: the
@@ -312,6 +320,8 @@ class SlidingWindowEvaluator:
         caps pipelined throughput (measured: 6 per-scale dispatches +
         combiner ran at 0.7 img/s; the fused program removes that
         ceiling). Shares the per-scale pipeline builders."""
+        if self.pooled_ms and len(self.scales) > 1:
+            return self._build_ms_pooled_raw(h, w)
         raw_fns = [
             self._build_scale_raw(h, w, scale, channels_first=True)
             for scale in self.scales
@@ -331,6 +341,156 @@ class SlidingWindowEvaluator:
 
     def _build_ms_argmax_fn(self, h, w):
         return jax.jit(self._build_ms_argmax_raw(h, w))
+
+    def _build_ms_pooled_raw(self, h, w):
+        """The ms program with ONE pooled window stream across scales.
+
+        Every scale's sliding window is the same ``[crop_h, crop_w]``
+        crop — only the source canvas differs — so instead of six
+        per-scale scans, each padding its own tail chunk to the
+        batch-aligned width (and the 2-window 0.5x scale running a whole
+        chunk at the slow half batch), the global window list pools into
+        ONE scan with a single padded tail: 88 -> 84 window-pair slots
+        on the Cityscapes protocol (the chunk-padding leg was the
+        largest attributed residual in the tool/ms_attrib.py ladder),
+        and the program inlines the window forward once instead of once
+        per scale. Canvases and accumulators stack on a leading scale
+        axis so the scan body gathers/scatters with a traced scale
+        index. Numerics are bit-identical to the per-scale path: the
+        pool keeps (scale, row-major) order, so each canvas sees the
+        same windows added in the same sequence, and the per-window
+        forward does not depend on which batch slot a window rides in.
+        Protocol semantics: reference ``tool/test.py:149-178`` (same
+        grid, count-divide, un-pad, half-pixel resize per scale)."""
+        crop_h, crop_w = self.crop_h, self.crop_w
+        classes = self.classes
+        wb = max(1, self.window_batch // (2 if self.flip else 1))
+        geoms = []
+        pool = []  # (scale_idx, y, x) — static at trace time
+        for si, scale in enumerate(self.scales):
+            new_h, new_w = _scaled_size(h, w, scale, self.base_size)
+            pad_h = max(crop_h - new_h, 0)
+            pad_w = max(crop_w - new_w, 0)
+            canvas_h, canvas_w = new_h + pad_h, new_w + pad_w
+            coords = _grid_coords(canvas_h, canvas_w, crop_h, crop_w,
+                                  self.stride_rate)
+            count_rows = np.zeros((canvas_h, 1), dtype=np.float32)
+            count_cols = np.zeros((canvas_w, 1), dtype=np.float32)
+            for s_h in sorted({c[0] for c in coords}):
+                count_rows[s_h : s_h + crop_h] += 1.0
+            for s_w in sorted({c[1] for c in coords}):
+                count_cols[s_w : s_w + crop_w] += 1.0
+            geoms.append(dict(
+                new_h=new_h, new_w=new_w,
+                pad_h_half=pad_h // 2, pad_w_half=pad_w // 2,
+                canvas_h=canvas_h, canvas_w=canvas_w,
+                count_rows=count_rows, count_cols=count_cols,
+            ))
+            pool += [(si, s_h, s_w) for (s_h, s_w) in coords]
+        wb = min(wb, len(pool))
+        n_pad = (-len(pool)) % wb
+        syx_arr = np.asarray(
+            pool + [(0, 0, 0)] * n_pad, dtype=np.int32
+        ).reshape(-1, wb, 3)
+        weights_arr = np.asarray(
+            [1.0] * len(pool) + [0.0] * n_pad, dtype=np.float32
+        ).reshape(-1, wb)
+        n_scales = len(self.scales)
+        max_ch = max(g["canvas_h"] for g in geoms)
+        max_cw = max(g["canvas_w"] for g in geoms)
+
+        mean = jnp.asarray(self.mean)
+        flip = self.flip
+        fused = self.fused_stitch
+        model_apply = self._forward_cf
+        fused_apply = self._forward_fused_pairs
+        is_bf16 = getattr(self.model, "dtype", None) == jnp.bfloat16
+
+        def ms_fn(variables, image):
+            image = image.astype(jnp.float32)
+            # Stack every scale's mean-padded canvas along a leading
+            # scale axis; regions past a scale's own extent are never
+            # gathered (coords stay inside each canvas).
+            canvases = jnp.zeros((n_scales, max_ch, max_cw, 3), jnp.float32)
+            for si, g in enumerate(geoms):
+                img = resize_bilinear_half_pixel(
+                    image, (g["new_h"], g["new_w"])
+                )
+                c = jnp.broadcast_to(
+                    mean, (g["canvas_h"], g["canvas_w"], 3)
+                ).astype(jnp.float32)
+                c = jax.lax.dynamic_update_slice(
+                    c, img, (g["pad_h_half"], g["pad_w_half"], 0)
+                )
+                canvases = jax.lax.dynamic_update_slice(
+                    canvases, c[None], (si, 0, 0, 0)
+                )
+
+            def chunk_body(acc, xs):
+                cs, wt = xs  # [wb, 3] int32 (scale, y, x), [wb] f32
+
+                def take(c):
+                    return jax.lax.dynamic_slice(
+                        canvases, (c[0], c[1], c[2], 0),
+                        (1, crop_h, crop_w, 3),
+                    )[0]
+
+                wins = jax.vmap(take)(cs)
+                batch = (
+                    jnp.concatenate([wins, wins[:, :, ::-1]], axis=0)
+                    if flip else wins
+                )
+                if fused:
+                    probs = fused_apply(variables, batch, wb)
+                else:
+                    probs = model_apply(variables, batch)
+                    if flip:
+                        probs = (probs[:wb] + probs[wb:][..., ::-1]) / 2
+
+                def put(i, a):
+                    c = cs[i]
+                    patch = jax.lax.dynamic_slice(
+                        a, (c[0], 0, c[1], c[2]),
+                        (1, classes, crop_h, crop_w),
+                    )
+                    return jax.lax.dynamic_update_slice(
+                        a, patch + (probs[i] * wt[i])[None],
+                        (c[0], 0, c[1], c[2]),
+                    )
+
+                return jax.lax.fori_loop(0, wb, put, acc), None
+
+            acc0 = jnp.zeros(
+                (n_scales, classes, max_ch, max_cw), jnp.float32
+            )
+            acc, _ = jax.lax.scan(
+                chunk_body, acc0,
+                (jnp.asarray(syx_arr), jnp.asarray(weights_arr)),
+            )
+            total = None
+            for si, g in enumerate(geoms):
+                a = jax.lax.slice(
+                    acc, (si, 0, 0, 0),
+                    (si + 1, classes, g["canvas_h"], g["canvas_w"]),
+                )[0]
+                a = a / (
+                    jnp.asarray(g["count_rows"])
+                    * jnp.asarray(g["count_cols"]).T
+                )[None]
+                a = jax.lax.dynamic_slice(
+                    a, (0, g["pad_h_half"], g["pad_w_half"]),
+                    (classes, g["new_h"], g["new_w"]),
+                )
+                # same bf16 final-resize license as _build_scale_raw
+                if is_bf16:
+                    a = a.astype(jnp.bfloat16)
+                p = resize_bilinear_half_pixel_cf(a, (h, w))
+                # cross-scale sum stays f32 (same as the per-scale path)
+                p = p.astype(jnp.float32)
+                total = p if total is None else total + p
+            return jnp.argmax(total, axis=0).astype(jnp.uint8)
+
+        return ms_fn
 
     def _build_scale_fn(self, h, w, scale, emit_argmax=False):
         return jax.jit(self._build_scale_raw(h, w, scale, emit_argmax))

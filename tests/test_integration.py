@@ -328,6 +328,36 @@ def test_device_pipeline_matches_host_pipeline():
     np.testing.assert_array_equal(gray_fused, np.argmax(p_dev, -1))
 
 
+def test_pooled_ms_stream_matches_per_scale_program():
+    """The pooled cross-scale window stream (one scan, windows from every
+    scale's canvas pooled into shared batch-aligned chunks) must emit the
+    exact class map of the per-scale ms program: pooling only repacks
+    which batch slot a window rides in, never a value. Scales chosen so
+    canvases both pad up to the crop (0.4x) and tile multiple windows
+    (1.3x), with window counts that leave ragged per-scale tails."""
+    from semseg_tpu.engine.evaluator import SlidingWindowEvaluator
+
+    rs = np.random.RandomState(4)
+    image = (rs.rand(40, 61, 3) * 255).astype(np.float32)
+    kwargs = dict(
+        classes=2, crop_h=17, crop_w=17, mean=[10.0, 20.0, 30.0],
+        std=[55.0, 55.0, 55.0], base_size=61,
+        scales=[0.4, 0.75, 1.0, 1.3], flip=True, window_batch=4,
+        mode="device",
+    )
+    pooled = SlidingWindowEvaluator(
+        _PerPixelModel(2.0), {}, pooled_ms=True, **kwargs
+    )
+    per_scale = SlidingWindowEvaluator(
+        _PerPixelModel(2.0), {}, pooled_ms=False, **kwargs
+    )
+    assert pooled.pooled_ms and not per_scale.pooled_ms
+    np.testing.assert_array_equal(
+        np.asarray(pooled.predict_async(image)),
+        np.asarray(per_scale.predict_async(image)),
+    )
+
+
 @pytest.mark.parametrize("bucket", [32, 128])
 def test_bucketed_pipeline_matches_host_across_shapes(bucket):
     """device_bucketed must agree with the host reference pipeline on

@@ -258,13 +258,17 @@ def main():
         cv2.COLOR_BGR2RGB,
     )
     # MS_FUSED=0 forces the pre-round-5 XLA window path (A/B for the
-    # fused upsample+softmax+flip Pallas kernel); default = auto.
+    # fused upsample+softmax+flip Pallas kernel); MS_POOLED=0 forces the
+    # per-scale scans (A/B for the pooled cross-scale window stream,
+    # evaluator._build_ms_pooled_raw); default = auto for both.
     fused_env = os.environ.get("MS_FUSED")
+    pooled_env = os.environ.get("MS_POOLED")
     ev = SlidingWindowEvaluator(
         model, variables, classes=19, crop_h=713, crop_w=713,
         mean=mean, std=std, base_size=2048, scales=SCALES,
         window_batch=wbatch, mode="device",
         fused_stitch=None if fused_env is None else fused_env == "1",
+        pooled_ms=None if pooled_env is None else pooled_env == "1",
     )
     img_dev = jax.device_put(jnp.asarray(image))
     jax.block_until_ready(img_dev)
