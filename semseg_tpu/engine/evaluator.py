@@ -193,11 +193,17 @@ class SlidingWindowEvaluator:
             raise ValueError("fused_stitch=True requires flip=True "
                              "(the kernel fuses the flip average)")
         # Pooled cross-scale window stream for the fused ms program (see
-        # _build_ms_pooled_raw). ``None`` = auto: on whenever the program
-        # is single-device (the GSPMD eval path keeps per-scale scans so
-        # the window batch shards cleanly over the mesh).
+        # _build_ms_pooled_raw). ``None`` = auto: OFF. Opt-in only: the
+        # pooled program saves 4 of 88 window-pair slots on the
+        # Cityscapes protocol, but its traced-scale gather/scatter over
+        # max-padded stacked canvases did not finish the remote TPU
+        # compile in 25 min (measured 2026-08-20; the per-scale program
+        # compiles in minutes and runs 1.011-1.021 img/s link-free), so
+        # a <5% upper-bound win is not worth an unbounded compile. The
+        # GSPMD eval path always keeps per-scale scans so the window
+        # batch shards cleanly over the mesh.
         if pooled_ms is None:
-            pooled_ms = mesh is None
+            pooled_ms = False
         self.pooled_ms = bool(pooled_ms) and mesh is None
         self._model_lowres = None
         if self.fused_stitch:
